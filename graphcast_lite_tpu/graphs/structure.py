@@ -1,0 +1,163 @@
+"""Static padded graph structures shipped to the TPU.
+
+Design: all graphs in this framework are *static* — built once on the host at
+model-compile time (see ``graphcast_lite_tpu.graphs.build``) and padded to
+fixed shapes so that every XLA trace sees constant shapes.  Dynamic behaviors
+of the reference (SparseGAT edge pruning, region pruning) become *mask
+updates* over a fixed edge superset instead of edge-list reallocation
+(reference mutates ``self.processing_graph`` in place,
+reference src/models.py:841-846 — here the pruned state is an explicit
+``edge_mask`` array threaded functionally through the step).
+
+Two edge layouts are carried:
+
+* COO, sorted by receiver (``senders``/``receivers``/``edge_mask``): consumed
+  by ``jax.ops.segment_sum``-based aggregation (the correctness oracle and
+  general path).
+* ELL (padded per-receiver neighbor table, ``neigh_senders``/``neigh_edge`` of
+  shape [R, K]): consumed by the dense-gather TPU fast path and the Pallas
+  kernels.  Built lazily only when the max degree makes it economical.
+
+Node-index convention matches the reference (src/create_graphs.py:9-15):
+one flat node array, grid nodes 0..N-1 then mesh nodes N..N+M-1; bipartite
+graphs index into the combined space.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["Graph", "pad_to_multiple", "build_graph"]
+
+_LANE = 128  # pad edge counts to the TPU lane width
+
+
+def pad_to_multiple(n: int, m: int = _LANE) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@struct.dataclass
+class Graph:
+    """A static padded message-passing graph.
+
+    Attributes:
+      senders: [E_pad] int32 sender node ids (padding slots point at node 0).
+      receivers: [E_pad] int32 receiver node ids, sorted ascending; padding
+        slots point at node ``num_nodes - 1`` to keep sortedness.
+      edge_mask: [E_pad] float32, 1 for real edges, 0 for padding.  SparseGAT
+        pruning produces updated copies of this array.
+      edge_attr: optional [E_pad, F_e] float32 static edge features.
+      neigh_senders: optional [R, K] int32 ELL table — sender id of each
+        receiver's k-th incoming edge (self-padded with 0).
+      neigh_edge: optional [R, K] int32 — index into the COO edge arrays for
+        that slot (to pick up per-edge values such as attention or edge_attr);
+        padding slots point at edge 0.
+      neigh_mask: optional [R, K] float32 ELL validity mask.
+      num_nodes: static — size of the (combined) node space.
+      num_receivers: static — number of receiver rows for aggregation
+        (== num_nodes for unified graphs).
+      num_edges: static — number of real (unpadded) edges.
+    """
+
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+    edge_attr: Optional[jnp.ndarray] = None
+    neigh_senders: Optional[jnp.ndarray] = None
+    neigh_edge: Optional[jnp.ndarray] = None
+    neigh_mask: Optional[jnp.ndarray] = None
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_receivers: int = struct.field(pytree_node=False, default=0)
+    num_edges: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def padded_num_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+    @property
+    def has_ell(self) -> bool:
+        return self.neigh_senders is not None
+
+
+def build_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_receivers: Optional[int] = None,
+    edge_attr: Optional[np.ndarray] = None,
+    build_ell: bool = True,
+    max_ell_degree: int = 64,
+    pad_multiple: int = _LANE,
+) -> Graph:
+    """Sort COO edges by receiver, pad, and (optionally) build the ELL table.
+
+    Host-side NumPy; returns a `Graph` of jnp arrays.
+
+    Args:
+      senders/receivers: [E] integer edge endpoints (any order).
+      num_nodes: size of the node space the ids index into.
+      num_receivers: number of aggregation rows (defaults to num_nodes).
+      edge_attr: optional [E, F_e] static edge features.
+      build_ell: also build the padded per-receiver neighbor table when the
+        max in-degree is <= max_ell_degree (otherwise padding waste explodes
+        and the COO path is the better layout).
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    num_receivers = num_nodes if num_receivers is None else int(num_receivers)
+    e = int(senders.shape[0])
+
+    order = np.argsort(receivers, kind="stable")
+    s_sorted = senders[order]
+    r_sorted = receivers[order]
+    attr_sorted = edge_attr[order] if edge_attr is not None else None
+
+    e_pad = max(pad_to_multiple(e, pad_multiple), pad_multiple)
+    s_full = np.zeros(e_pad, dtype=np.int32)
+    r_full = np.full(e_pad, num_receivers - 1, dtype=np.int32)
+    m_full = np.zeros(e_pad, dtype=np.float32)
+    s_full[:e] = s_sorted
+    r_full[:e] = r_sorted
+    m_full[:e] = 1.0
+
+    attr_full = None
+    if attr_sorted is not None:
+        attr_full = np.zeros((e_pad, attr_sorted.shape[1]), dtype=np.float32)
+        attr_full[:e] = attr_sorted
+
+    neigh_senders = neigh_edge = neigh_mask = None
+    if build_ell and e > 0:
+        degrees = np.bincount(r_sorted, minlength=num_receivers)
+        k_max = int(degrees.max())
+        if k_max <= max_ell_degree:
+            k = max(1, k_max)
+            ns = np.zeros((num_receivers, k), dtype=np.int32)
+            ne = np.zeros((num_receivers, k), dtype=np.int32)
+            nm = np.zeros((num_receivers, k), dtype=np.float32)
+            # slot position of each edge within its receiver's row
+            slot = np.arange(e) - np.concatenate(
+                [[0], np.cumsum(degrees)[:-1]]
+            )[r_sorted]
+            ns[r_sorted, slot] = s_sorted
+            ne[r_sorted, slot] = np.arange(e, dtype=np.int32)
+            nm[r_sorted, slot] = 1.0
+            neigh_senders = jnp.asarray(ns)
+            neigh_edge = jnp.asarray(ne)
+            neigh_mask = jnp.asarray(nm)
+
+    return Graph(
+        senders=jnp.asarray(s_full),
+        receivers=jnp.asarray(r_full),
+        edge_mask=jnp.asarray(m_full),
+        edge_attr=jnp.asarray(attr_full) if attr_full is not None else None,
+        neigh_senders=neigh_senders,
+        neigh_edge=neigh_edge,
+        neigh_mask=neigh_mask,
+        num_nodes=int(num_nodes),
+        num_receivers=num_receivers,
+        num_edges=e,
+    )

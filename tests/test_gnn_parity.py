@@ -1,0 +1,242 @@
+"""Parity tests: GNN layers vs explicit NumPy oracles of PyG semantics.
+
+The oracles below are independent loop/dense implementations of
+GCNConv / GATConv / SimpleConv / InteractionNet exactly as PyG computes them
+(self-loop handling, normalization, softmax, head averaging), serving as the
+correctness anchor the reference repo never had (it had no tests at all).
+COO and ELL layouts are both exercised.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphcast_lite_tpu.graphs.structure import build_graph
+from graphcast_lite_tpu.models.gnn import (
+    GATConv,
+    GCNConv,
+    InteractionNetLayer,
+    SimpleConv,
+    SparseGATConv,
+)
+from graphcast_lite_tpu.models.nn import PyGLayerNorm
+
+
+def random_graph(rng, n_nodes=23, n_edges=80, build_ell=True):
+    s = rng.randint(0, n_nodes, n_edges)
+    r = rng.randint(0, n_nodes, n_edges)
+    return build_graph(s, r, num_nodes=n_nodes, build_ell=build_ell,
+                       pad_multiple=16), s, r
+
+
+# ----------------------------------------------------------------- oracles --
+def gcn_oracle(x, w, b, senders, receivers, n):
+    """PyG GCNConv: add self loops, symmetric deg^-1/2 normalization."""
+    xw = x @ w
+    s = np.concatenate([senders, np.arange(n)])
+    r = np.concatenate([receivers, np.arange(n)])
+    deg = np.bincount(r, minlength=n).astype(np.float64)
+    dinv = 1.0 / np.sqrt(deg)
+    out = np.zeros((n, w.shape[1]))
+    for e in range(len(s)):
+        out[r[e]] += dinv[s[e]] * dinv[r[e]] * xw[s[e]]
+    return out + b
+
+
+def gat_oracle(x, w, att_src, att_dst, bias, senders, receivers, n, heads, c):
+    """PyG GATConv(concat=False): self loops, LeakyReLU(0.2) logits,
+    per-receiver softmax, head mean, bias."""
+    xp = (x @ w).reshape(n, heads, c)
+    a_s = (xp * att_src).sum(-1)  # [N, H]
+    a_d = (xp * att_dst).sum(-1)
+    s = np.concatenate([senders, np.arange(n)])
+    r = np.concatenate([receivers, np.arange(n)])
+    logits = a_s[s] + a_d[r]
+    logits = np.where(logits >= 0, logits, 0.2 * logits)
+    out = np.zeros((n, heads, c))
+    for node in range(n):
+        idx = np.flatnonzero(r == node)
+        if len(idx) == 0:
+            continue
+        lg = logits[idx]  # [k, H]
+        alpha = np.exp(lg - lg.max(axis=0))
+        alpha = alpha / alpha.sum(axis=0)
+        for j, e in enumerate(idx):
+            out[node] += alpha[j][:, None] * xp[s[e]]
+    return out.mean(axis=1) + bias
+
+
+def simple_conv_oracle(x, senders, receivers, n):
+    out = np.zeros((n, x.shape[1]))
+    cnt = np.bincount(receivers, minlength=n)
+    for e in range(len(senders)):
+        out[receivers[e]] += x[senders[e]]
+    return out / np.maximum(cnt, 1)[:, None]
+
+
+# ------------------------------------------------------------------- tests --
+@pytest.mark.parametrize("build_ell", [False, True])
+def test_gcn_parity(rng, build_ell):
+    graph, s, r = random_graph(rng, build_ell=build_ell)
+    x = rng.randn(23, 7).astype(np.float32)
+    layer = GCNConv(5)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), graph)
+    out = layer.apply(params, jnp.asarray(x), graph)
+    w = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    expect = gcn_oracle(x.astype(np.float64), w.astype(np.float64), b, s, r, 23)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("build_ell", [False, True])
+@pytest.mark.parametrize("heads", [1, 4])
+def test_gat_parity(rng, build_ell, heads):
+    graph, s, r = random_graph(rng, build_ell=build_ell)
+    x = rng.randn(23, 6).astype(np.float32)
+    layer = GATConv(5, heads=heads)
+    params = layer.init(jax.random.PRNGKey(1), jnp.asarray(x), graph)
+    out = layer.apply(params, jnp.asarray(x), graph)
+    core = params["params"]["core"]
+    expect = gat_oracle(
+        x.astype(np.float64),
+        np.asarray(core["kernel"], np.float64),
+        np.asarray(core["att_src"], np.float64),
+        np.asarray(core["att_dst"], np.float64),
+        np.asarray(core["bias"], np.float64),
+        s, r, 23, heads, 5,
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("build_ell", [False, True])
+def test_simple_conv_parity(rng, build_ell):
+    graph, s, r = random_graph(rng, build_ell=build_ell)
+    x = rng.randn(23, 6).astype(np.float32)
+    layer = SimpleConv()
+    params = layer.init(jax.random.PRNGKey(2), jnp.asarray(x), graph)
+    out = layer.apply(params, jnp.asarray(x), graph)
+    expect = simple_conv_oracle(x.astype(np.float64), s, r, 23)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5, rtol=1e-5)
+
+
+def test_sparse_gat_prune_mask(rng):
+    graph, s, r = random_graph(rng)
+    x = rng.randn(23, 6).astype(np.float32)
+    layer = SparseGATConv(5, heads=1)
+    params = layer.init(jax.random.PRNGKey(3), jnp.asarray(x), graph)
+    out0, mask0 = layer.apply(
+        params, jnp.asarray(x), graph, None, 0.0, False
+    )
+    # No pruning without prune=True.
+    np.testing.assert_array_equal(np.asarray(mask0), np.asarray(graph.edge_mask))
+    out1, mask1 = layer.apply(
+        params, jnp.asarray(x), graph, None, 0.05, True
+    )
+    m1 = np.asarray(mask1)
+    assert m1.sum() <= np.asarray(graph.edge_mask).sum()
+    assert set(np.unique(m1)).issubset({0.0, 1.0})
+    # Masked edges stay masked on a second prune (monotone sparsification).
+    _, mask2 = layer.apply(params, jnp.asarray(x), graph, mask1, 0.0, True)
+    assert (np.asarray(mask2) <= m1 + 1e-9).all()
+    # Forward with pruned mask differs (edges actually removed).
+    out2, _ = layer.apply(params, jnp.asarray(x), graph, mask1, 0.0, False)
+    if m1.sum() < np.asarray(graph.edge_mask).sum():
+        assert not np.allclose(np.asarray(out2), np.asarray(out0))
+
+
+def test_interaction_net_layer(rng):
+    graph, s, r = random_graph(rng, n_nodes=17, n_edges=60)
+    x = rng.randn(17, 8).astype(np.float32)
+    e = rng.randn(graph.padded_num_edges, 8).astype(np.float32)
+    e[graph.num_edges:] = 0.0
+    layer = InteractionNetLayer(node_dim=8, edge_dim=8, hidden_dim=16,
+                                activation="swish", use_layer_norm=False)
+    params = layer.init(jax.random.PRNGKey(4), jnp.asarray(x), jnp.asarray(e), graph)
+    new_x, new_e = layer.apply(params, jnp.asarray(x), jnp.asarray(e), graph)
+
+    # Oracle (residual, scatter-mean), no LN for exactness of the graph part.
+    def mlp(p, v):
+        h = v @ np.asarray(p["lin_0"]["kernel"]) + np.asarray(p["lin_0"]["bias"])
+        h = h / (1 + np.exp(-h)) * 1.0  # silu = x*sigmoid(x)
+        return h @ np.asarray(p["lin_1"]["kernel"]) + np.asarray(p["lin_1"]["bias"])
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    p = params["params"]
+    srt = np.argsort(r, kind="stable")
+    ss, rr = s[srt], r[srt]
+    e_real = np.asarray(e)[: graph.num_edges]
+    edge_in = np.concatenate([x[ss], x[rr], e_real], axis=1)
+    h = silu(edge_in @ np.asarray(p["edge_mlp"]["lin_0"]["kernel"])
+             + np.asarray(p["edge_mlp"]["lin_0"]["bias"]))
+    e_upd = h @ np.asarray(p["edge_mlp"]["lin_1"]["kernel"]) + np.asarray(
+        p["edge_mlp"]["lin_1"]["bias"])
+    agg = np.zeros((17, 8))
+    cnt = np.bincount(rr, minlength=17)
+    for i in range(len(ss)):
+        agg[rr[i]] += e_upd[i]
+    agg = agg / np.maximum(cnt, 1)[:, None]
+    node_in = np.concatenate([x, agg], axis=1)
+    h2 = silu(node_in @ np.asarray(p["node_mlp"]["lin_0"]["kernel"])
+              + np.asarray(p["node_mlp"]["lin_0"]["bias"]))
+    n_upd = h2 @ np.asarray(p["node_mlp"]["lin_1"]["kernel"]) + np.asarray(
+        p["node_mlp"]["lin_1"]["bias"])
+    np.testing.assert_allclose(np.asarray(new_x), x + n_upd, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_e)[: graph.num_edges], e_real + e_upd, atol=1e-4
+    )
+
+
+def test_pyg_layernorm_modes(rng):
+    x = rng.randn(11, 7).astype(np.float32)
+    for mode in ["node", "graph"]:
+        ln = PyGLayerNorm(mode=mode)
+        params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out = np.asarray(ln.apply(params, jnp.asarray(x)))
+        if mode == "node":
+            expect = (x - x.mean(1, keepdims=True)) / np.sqrt(
+                x.var(1, keepdims=True) + 1e-5
+            )
+        else:
+            expect = (x - x.mean()) / np.sqrt(x.var() + 1e-5)
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+    # Graph mode with a row mask ignores masked rows in the statistics.
+    ln = PyGLayerNorm(mode="graph")
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mask = np.ones(11, np.float32)
+    mask[8:] = 0.0
+    out = np.asarray(ln.apply(params, jnp.asarray(x), mask=jnp.asarray(mask)))
+    xm = x[:8]
+    expect8 = (x - xm.mean()) / np.sqrt(xm.var() + 1e-5)
+    np.testing.assert_allclose(out[:8], expect8[:8], atol=1e-5)
+
+
+def test_masked_edges_are_inert(rng):
+    """A fully-masked duplicate edge must not change any layer's output."""
+    n = 12
+    s = rng.randint(0, n, 30)
+    r = rng.randint(0, n, 30)
+    g1 = build_graph(s, r, num_nodes=n, pad_multiple=8)
+    # Same graph plus junk edges that we mask off.
+    s2 = np.concatenate([s, rng.randint(0, n, 6)])
+    r2 = np.concatenate([r, rng.randint(0, n, 6)])
+    g2 = build_graph(s2, r2, num_nodes=n, pad_multiple=8)
+    # Build the kill mask in g2's sorted coo order: mark the 6 junk edges.
+    order = np.argsort(r2, kind="stable")
+    kill = np.zeros(len(s2), np.float32)
+    kill[30:] = 1.0
+    kill_sorted = kill[order]
+    mask2 = np.asarray(g2.edge_mask).copy()
+    mask2[: len(s2)][kill_sorted.astype(bool)] = 0.0
+
+    x = rng.randn(n, 5).astype(np.float32)
+    for layer in [GCNConv(4), GATConv(4, heads=2), SimpleConv()]:
+        params = layer.init(jax.random.PRNGKey(7), jnp.asarray(x), g1)
+        o1 = layer.apply(params, jnp.asarray(x), g1)
+        o2 = layer.apply(params, jnp.asarray(x), g2, jnp.asarray(mask2))
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), atol=1e-5,
+            err_msg=f"{type(layer).__name__} not mask-invariant",
+        )
