@@ -1,0 +1,150 @@
+"""Benchmark: AR-rollout throughput (grid-points/s/chip) on the flagship
+encode-process-decode model.
+
+Measures the BASELINE.json north-star metric on two configs:
+  * WB2 64x32 / 33 features, mesh [3,5]  (the reference's benchmark grid)
+  * WB2 512x256 / 19 features, mesh [4,6] (wb2_512x256_19f_ar, headline)
+each as a single jitted 4-step AR rollout (hidden 256, 12 InteractionNet
+message-passing steps — the reference's "freeze6"-class model, ~5.9M params).
+
+Baseline derivation (the reference publishes no throughput numbers): its DA
+experiment log records ~6.5 min per 200-sample AR-4 inference experiment on
+the 512x256 grid on an A100-80GB (DA_EXPERIMENTS_GLOBAL_RESULTS.md:156),
+i.e. 200 × 4 × 131072 / 390 s ≈ 2.69e5 grid-points/s — an upper bound on the
+reference's effective rollout throughput (includes its DA overhead).
+``vs_baseline`` is ours ÷ that estimate.
+
+Prints ONE JSON line:
+  {"metric": "grid_points_per_s_per_chip_512x256_ar4", "value": ...,
+   "unit": "grid-points/s", "vs_baseline": ..., "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_THROUGHPUT_512 = 2.69e5  # grid-points/s, derived above
+
+
+def build(config_name: str, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.models.weather import ModelGraphs, WeatherModel
+    from graphcast_lite_tpu.training.rollout import RolloutSpec, rollout_predict
+
+    if config_name == "64x32":
+        cfg = presets.interaction_net_64x32()
+        lat, lon = presets.wb2_64x32_grid()
+    else:
+        cfg = presets.interaction_net_512x256()
+        lat, lon = presets.wb2_512x256_grid()
+    n_feat = cfg.data.num_features_used
+    obs = cfg.data.obs_window_used
+    ar = cfg.max_ar_steps
+
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(
+        pipeline=cfg.pipeline, data=cfg.data,
+        num_grid_nodes=gs.num_grid_nodes, num_mesh_nodes=gs.num_mesh_nodes,
+    )
+    spec = RolloutSpec(obs_window=obs, num_features=n_feat,
+                       use_residual=True, remat=False)
+
+    g = gs.num_grid_nodes
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(g, obs, n_feat).astype(np.float32),
+        dtype=dtype,
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x.reshape(g, obs * n_feat).astype(jnp.float32),
+        graphs,
+    )
+    if dtype == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params
+        )
+        graphs = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, graphs
+        )
+
+    def rollout(params, window):
+        def model_fn(inp, m, t, p):
+            out, _ = model.apply(params, inp, graphs, m, t, p)
+            return out, None
+
+        return rollout_predict(model_fn, window, ar, spec)
+
+    import jax as _jax
+    fn = _jax.jit(rollout)
+    return fn, params, x, g, ar
+
+
+def bench_config(config_name: str, iters: int, dtype_name: str):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    t0 = time.time()
+    fn, params, x, g, ar = build(config_name, dtype)
+    build_s = time.time() - t0
+
+    t0 = time.time()
+    out = fn(params, x)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    # Async-dispatch iters then block once: amortizes host->device RTT.
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(params, x)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+    points_per_s = g * ar / dt
+    return {
+        "grid_points_per_s": points_per_s,
+        "rollout_ms": dt * 1e3,
+        "grid_nodes": g,
+        "ar_steps": ar,
+        "build_s": round(build_s, 1),
+        "compile_s": round(compile_s, 1),
+        "dtype": dtype_name,
+        "iters": iters,
+    }
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    extra = {}
+    res_small = None
+    res_big = None
+    if only in (None, "64x32"):
+        res_small = bench_config("64x32", iters=20, dtype_name="bf16")
+        extra["64x32_bf16"] = res_small
+    if only in (None, "512x256"):
+        res_big = bench_config("512x256", iters=5, dtype_name="bf16")
+        extra["512x256_bf16"] = res_big
+
+    headline = res_big or res_small
+    value = headline["grid_points_per_s"]
+    print(json.dumps({
+        "metric": "grid_points_per_s_per_chip_512x256_ar4"
+        if res_big else "grid_points_per_s_per_chip_64x32_ar4",
+        "value": round(value, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(value / REFERENCE_THROUGHPUT_512, 3),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""AR-rollout inference & evaluation engine.
+
+Functional core of the reference's main inference CLI
+(reference ``scripts/predict.py``): autoregressive rollout over a test
+split with
+
+* persistence baseline (last input frame repeated, :469) and
+  skill = 1 − RMSE/RMSE_persistence (:636);
+* overall / per-horizon / per-channel streaming metrics (:53-123, 574-600);
+* optional region restriction (lat/lon bbox, inner boundary zone, or the
+  multires ``is_regional`` mask, :334-375);
+* static/forcing carry-forward during the rollout (:528-565);
+* optional data-assimilation hook invoked after each AR step
+  (nudging / OI plug in here, :487-568);
+* physical-unit per-channel tables via the dataset scalers (:654-801);
+* raw predictions + ground truth + sample offsets saved as .npz (:602-632).
+
+The device side is one jitted rollout program; metric accumulation is
+streaming NumPy on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import ChunkedTimeseriesDataset, DatasetMetadata
+from ..models.weather import ModelGraphs, WeatherModel
+from ..training.rollout import RolloutSpec, carry_forward
+from .metrics import StreamingMetrics, skill_score
+
+__all__ = ["EvalReport", "evaluate_model", "region_node_mask"]
+
+# An assimilator hook: (state_out [G, C], step_idx, observations) -> [G, C].
+AssimilatorFn = Callable[[np.ndarray, int], np.ndarray]
+
+
+def region_node_mask(
+    meta: DatasetMetadata,
+    region: Optional[Tuple[float, float, float, float]] = None,
+    boundary_width: int = 0,
+) -> Optional[np.ndarray]:
+    """Boolean [G] node mask for region-restricted metrics.
+
+    Priority: explicit bbox > is_regional flat mask > inner boundary zone.
+    """
+    if region is not None and meta.coordinates is not None:
+        lat_min, lat_max, lon_min, lon_max = region
+        lats, lons = meta.coordinates
+        if meta.flat_grid:
+            nl, no = lats, lons
+        else:
+            lo, la = np.meshgrid(lons, lats)
+            nl, no = la.reshape(-1), lo.reshape(-1)
+        m = (nl >= lat_min) & (nl <= lat_max)
+        if lon_min <= lon_max:
+            m &= (no >= lon_min) & (no <= lon_max)
+        else:  # wrap
+            m &= (no >= lon_min) | (no <= lon_max)
+        return m
+    if meta.flat_grid and meta.is_regional is not None:
+        return meta.is_regional.astype(bool)
+    if boundary_width > 0 and not meta.flat_grid:
+        m = np.zeros((meta.num_latitudes, meta.num_longitudes), bool)
+        m[boundary_width:-boundary_width, boundary_width:-boundary_width] = True
+        return m.reshape(-1)
+    return None
+
+
+@dataclasses.dataclass
+class EvalReport:
+    num_samples: int
+    ar_steps: int
+    rmse: float
+    mae: float
+    acc: float
+    baseline_rmse: float
+    baseline_acc: float
+    skill: float
+    per_horizon: List[Dict[str, float]]
+    per_channel_rmse: np.ndarray
+    per_channel_rmse_physical: Optional[np.ndarray]
+    per_channel_acc: np.ndarray
+    region: Optional[Dict[str, object]] = None
+    variables: Optional[List[str]] = None
+
+    def to_json(self) -> Dict:
+        out = dataclasses.asdict(self)
+        for k in ("per_channel_rmse", "per_channel_rmse_physical",
+                  "per_channel_acc"):
+            if out[k] is not None:
+                out[k] = np.asarray(out[k]).tolist()
+        if out.get("region") and out["region"].get("per_horizon") is not None:
+            pass
+        return out
+
+    def summary(self) -> str:
+        lines = [
+            f"=== Inference summary ({self.num_samples} samples, "
+            f"AR={self.ar_steps}) ===",
+            f"Overall: RMSE={self.rmse:.6f} | MAE={self.mae:.6f} | "
+            f"ACC={self.acc:.4f}",
+            f"Persistence: RMSE={self.baseline_rmse:.6f} | "
+            f"ACC={self.baseline_acc:.4f}",
+            f"Skill vs persistence: {self.skill * 100:.2f}%",
+        ]
+        for h in self.per_horizon:
+            lines.append(
+                f"  +{int(h['horizon']):02d}: RMSE={h['rmse']:.6f} | "
+                f"base={h['baseline_rmse']:.6f} | "
+                f"skill={h['skill'] * 100:.2f}% | ACC={h['acc']:.4f}"
+            )
+        if self.region is not None:
+            r = self.region
+            lines.append(
+                f"Region ({int(r['num_nodes'])} nodes): "
+                f"RMSE={r['rmse']:.6f} | skill={r['skill'] * 100:.2f}% | "
+                f"ACC={r['acc']:.4f}"
+            )
+            for h in r.get("per_horizon", []):
+                lines.append(
+                    f"  region +{int(h['horizon']):02d}: "
+                    f"RMSE={h['rmse']:.6f} | skill={h['skill'] * 100:.2f}%"
+                )
+        if self.variables and self.per_channel_rmse_physical is not None:
+            lines.append("Per-channel physical RMSE:")
+            for name, v in zip(self.variables, self.per_channel_rmse_physical):
+                lines.append(f"  {name:>8s}: {v:.4f}")
+        return "\n".join(lines)
+
+
+def evaluate_model(
+    model: WeatherModel,
+    params,
+    graphs: ModelGraphs,
+    dataset: ChunkedTimeseriesDataset,
+    meta: DatasetMetadata,
+    ar_steps: int = 1,
+    use_residual: bool = True,
+    static_channels: Tuple[int, ...] = (),
+    forcing_channels: Tuple[int, ...] = (),
+    edge_mask: Optional[jnp.ndarray] = None,
+    max_samples: Optional[int] = None,
+    region: Optional[Tuple[float, float, float, float]] = None,
+    boundary_width: int = 0,
+    assimilator: Optional[AssimilatorFn] = None,
+    scalers_std: Optional[np.ndarray] = None,
+    save_predictions: Optional[str] = None,
+    horizon_hours: int = 6,
+) -> EvalReport:
+    """Run AR evaluation over `dataset` and return the metric report."""
+    c = dataset.n_feat
+    obs = dataset.obs_window
+    g = dataset.n_nodes
+    spec = RolloutSpec(
+        obs_window=obs,
+        num_features=c,
+        use_residual=use_residual,
+        remat=False,
+        static_channels=tuple(static_channels),
+        forcing_channels=tuple(forcing_channels),
+    )
+    exclude = sorted(set(static_channels) | set(forcing_channels))
+
+    @jax.jit
+    def one_step(window, target):
+        """One AR step incl. carry-forward; returns (out, next_window)."""
+        inp = window.reshape(g, obs * c)
+        delta, _ = model.apply(params, inp, graphs, edge_mask)
+        out = window[:, -1, :] + delta if use_residual else delta
+        out = carry_forward(out, window[:, -1, :], target, spec)
+        next_window = jnp.concatenate(
+            [window[:, 1:, :], out[:, None, :]], axis=1
+        )
+        return out, next_window
+
+    sm_pred = StreamingMetrics(c, exclude)
+    sm_base = StreamingMetrics(c, exclude)
+    sm_pred_h = [StreamingMetrics(c, exclude) for _ in range(ar_steps)]
+    sm_base_h = [StreamingMetrics(c, exclude) for _ in range(ar_steps)]
+
+    rmask = region_node_mask(meta, region, boundary_width)
+    if rmask is not None:
+        sm_pred_r = StreamingMetrics(c, exclude)
+        sm_base_r = StreamingMetrics(c, exclude)
+        sm_pred_rh = [StreamingMetrics(c, exclude) for _ in range(ar_steps)]
+        sm_base_rh = [StreamingMetrics(c, exclude) for _ in range(ar_steps)]
+        ridx = np.flatnonzero(rmask)
+
+    saved_preds, saved_gt, saved_offsets = [], [], []
+
+    n = len(dataset)
+    if max_samples is not None:
+        n = min(n, max_samples)
+    for i in range(n):
+        x, y = dataset.get(i)
+        p_avail = y.shape[-1] // c
+        steps = min(ar_steps, p_avail)
+        window = jnp.asarray(x.reshape(g, obs, c))
+        targets = y.reshape(g, p_avail, c)
+        persistence = x.reshape(g, obs, c)[:, -1, :]
+
+        outs = []
+        for step in range(steps):
+            tgt = jnp.asarray(targets[:, step, :])
+            out, window = one_step(window, tgt)
+            out_np = np.asarray(out)
+            if assimilator is not None:
+                out_np = assimilator(out_np, step)
+                window = window.at[:, -1, :].set(jnp.asarray(out_np))
+            outs.append(out_np)
+
+        pred_flat = np.concatenate(outs, axis=1)             # [G, steps·C]
+        gt_flat = targets[:, :steps, :].reshape(g, steps * c)
+        base_flat = np.tile(persistence, (1, steps))
+
+        sm_pred.update(gt_flat, pred_flat)
+        sm_base.update(gt_flat, base_flat)
+        for s in range(steps):
+            sl = slice(s * c, (s + 1) * c)
+            sm_pred_h[s].update(gt_flat[:, sl], pred_flat[:, sl])
+            sm_base_h[s].update(gt_flat[:, sl], base_flat[:, sl])
+        if rmask is not None:
+            sm_pred_r.update(gt_flat[ridx], pred_flat[ridx])
+            sm_base_r.update(gt_flat[ridx], base_flat[ridx])
+            for s in range(steps):
+                sl = slice(s * c, (s + 1) * c)
+                sm_pred_rh[s].update(gt_flat[ridx][:, sl], pred_flat[ridx][:, sl])
+                sm_base_rh[s].update(gt_flat[ridx][:, sl], base_flat[ridx][:, sl])
+
+        if save_predictions:
+            saved_preds.append(pred_flat.astype(np.float32))
+            saved_gt.append(gt_flat.astype(np.float32))
+            saved_offsets.append(dataset._samples[i][1])
+
+    per_horizon = []
+    for s in range(ar_steps):
+        if sm_pred_h[s].n == 0:
+            continue
+        per_horizon.append({
+            "horizon": (s + 1) * horizon_hours,
+            "rmse": sm_pred_h[s].rmse,
+            "baseline_rmse": sm_base_h[s].rmse,
+            "skill": skill_score(sm_pred_h[s].rmse, sm_base_h[s].rmse),
+            "acc": sm_pred_h[s].acc,
+        })
+
+    region_report = None
+    if rmask is not None:
+        region_report = {
+            "num_nodes": int(rmask.sum()),
+            "rmse": sm_pred_r.rmse,
+            "acc": sm_pred_r.acc,
+            "skill": skill_score(sm_pred_r.rmse, sm_base_r.rmse),
+            "per_horizon": [
+                {
+                    "horizon": (s + 1) * horizon_hours,
+                    "rmse": sm_pred_rh[s].rmse,
+                    "baseline_rmse": sm_base_rh[s].rmse,
+                    "skill": skill_score(sm_pred_rh[s].rmse, sm_base_rh[s].rmse),
+                }
+                for s in range(ar_steps)
+                if sm_pred_rh[s].n
+            ],
+        }
+
+    phys = None
+    if scalers_std is not None:
+        phys = sm_pred.rmse_per_channel * scalers_std[:c]
+
+    if save_predictions:
+        np.savez_compressed(
+            save_predictions,
+            predictions=np.stack(saved_preds),
+            ground_truth=np.stack(saved_gt),
+            sample_offsets=np.asarray(saved_offsets),
+            n_features=c,
+            ar_steps=ar_steps,
+            obs_window=obs,
+            n_lon=meta.num_longitudes,
+            n_lat=meta.num_latitudes,
+        )
+
+    return EvalReport(
+        num_samples=sm_pred.n,
+        ar_steps=ar_steps,
+        rmse=sm_pred.rmse,
+        mae=sm_pred.mae,
+        acc=sm_pred.acc,
+        baseline_rmse=sm_base.rmse,
+        baseline_acc=sm_base.acc,
+        skill=skill_score(sm_pred.rmse, sm_base.rmse),
+        per_horizon=per_horizon,
+        per_channel_rmse=sm_pred.rmse_per_channel,
+        per_channel_rmse_physical=phys,
+        per_channel_acc=sm_pred.acc_per_channel,
+        region=region_report,
+        variables=meta.variables,
+    )
