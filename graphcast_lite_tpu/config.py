@@ -136,8 +136,10 @@ class ExperimentConfig(BaseModel):
     early_stopping_delta: float = 1e-4
     num_epochs: int = 100
     random_seed: Optional[int] = 42
-    graph: GraphBuildingConfig
-    pipeline: PipelineConfig
+    # graph/pipeline are optional only for the CNN (U-Net) stacks, which have
+    # no graph; GNN experiments always set both (as reference configs do).
+    graph: Optional[GraphBuildingConfig] = None
+    pipeline: Optional[PipelineConfig] = None
     data: DataConfig
     wandb_log: bool = False
     wandb_name: Optional[str] = None

@@ -22,6 +22,8 @@ __all__ = [
     "channel_mask",
     "combine_spatial_masks",
     "weighted_mse",
+    "spectral_loss",
+    "gradient_loss",
     "anomaly_correlation",
 ]
 
@@ -98,6 +100,45 @@ def weighted_mse(
     if lat_weights is not None:
         weights = weights * lat_weights[..., :, None]
     return (diff * weights).sum() / jnp.maximum(weights.sum(), 1e-12)
+
+
+def spectral_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """L1 distance between 2-D FFT amplitude spectra.
+
+    pred/target: [..., H, W, C].  Penalizes blurring (missing small-scale
+    energy) that plain MSE ignores — used by the V2 U-Net and downscaler
+    trainers (reference scripts/train_downscaler.py:196-204)."""
+    pf = jnp.abs(jnp.fft.rfft2(pred, axes=(-3, -2), norm="ortho"))
+    tf = jnp.abs(jnp.fft.rfft2(target, axes=(-3, -2), norm="ortho"))
+    return jnp.mean(jnp.abs(pf - tf))
+
+
+_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+_SOBEL_Y = _SOBEL_X.T
+
+
+def gradient_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """L1 distance between Sobel spatial gradients (sharpness prior).
+
+    pred/target: [..., H, W, C]."""
+    import jax
+
+    def sobel(x):
+        b = x.reshape((-1,) + x.shape[-3:])          # [N, H, W, C]
+        xc = jnp.moveaxis(b, -1, 1).reshape(-1, x.shape[-3], x.shape[-2], 1)
+        kx = _SOBEL_X[:, :, None, None]
+        ky = _SOBEL_Y[:, :, None, None]
+        gx = jax.lax.conv_general_dilated(
+            xc, kx, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        gy = jax.lax.conv_general_dilated(
+            xc, ky, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return gx, gy
+
+    pgx, pgy = sobel(pred)
+    tgx, tgy = sobel(target)
+    return jnp.mean(jnp.abs(pgx - tgx)) + jnp.mean(jnp.abs(pgy - tgy))
 
 
 def anomaly_correlation(

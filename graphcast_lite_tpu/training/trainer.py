@@ -120,6 +120,7 @@ class Trainer:
         metadata: DatasetMetadata,
         results_dir: str,
         processor_lr_factor: float = 1.0,
+        optimizer: Optional[optax.GradientTransformation] = None,
     ):
         self.model = model
         self.graphs = graphs
@@ -137,7 +138,8 @@ class Trainer:
             forcing_channels=tuple(config.forcing_channels),
         )
         self.using_sparse_gat = (
-            config.pipeline.processor.gcn.layer_type
+            config.pipeline is not None
+            and config.pipeline.processor.gcn.layer_type
             == GraphLayerType.SparseGATConv
         )
 
@@ -172,7 +174,7 @@ class Trainer:
         sm = combine_spatial_masks(sm, roi)
         self.spatial_mask = jnp.asarray(sm) if sm is not None else None
 
-        self.optimizer = build_optimizer(
+        self.optimizer = optimizer if optimizer is not None else build_optimizer(
             config.learning_rate, processor_lr_factor
         )
         self._train_step_cache: Dict[Tuple, Callable] = {}
