@@ -83,7 +83,7 @@ def test_unet_through_shared_trainer(tmp_path):
         data_dir, obs_window=2, pred_steps=2, n_features=4
     )
     cfg = ExperimentConfig(
-        batch_size=2, learning_rate=2e-3, num_epochs=3, max_ar_steps=2,
+        batch_size=2, learning_rate=1e-3, num_epochs=4, max_ar_steps=2,
         data=DataConfig(dataset_name="synthetic", num_features_used=4,
                         obs_window_used=2, pred_window_used=2,
                         want_feats_flattened=True),
@@ -94,13 +94,14 @@ def test_unet_through_shared_trainer(tmp_path):
     )
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(optax.cosine_decay_schedule(2e-3, 60)),
+        optax.adamw(optax.cosine_decay_schedule(1e-3, 200)),
     )
     trainer = Trainer(model, None, cfg, meta, str(tmp_path / "results"),
                       optimizer=opt)
     state = trainer.init_state(seed=0)
     results = trainer.fit(state, train_ds, val_ds, print_losses=False)
-    assert results["train_losses"][-1] < results["train_losses"][0]
+    # val loss is the stable signal: train loss jumps at AR-curriculum bumps.
+    assert results["val_losses"][-1] < results["val_losses"][0]
 
     # And evaluate through the shared inference engine.
     from graphcast_lite_tpu.inference.predict import evaluate_model
