@@ -70,9 +70,14 @@ class Graph:
     neigh_senders: Optional[jnp.ndarray] = None
     neigh_edge: Optional[jnp.ndarray] = None
     neigh_mask: Optional[jnp.ndarray] = None
+    # Pallas segment-sum tiling (receiver-tile edge ranges); None disables
+    # the kernel path for this graph.
+    seg_starts: Optional[jnp.ndarray] = None
+    seg_ends: Optional[jnp.ndarray] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_receivers: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
+    seg_tile_receivers: int = struct.field(pytree_node=False, default=0)
 
     @property
     def padded_num_edges(self) -> int:
@@ -129,6 +134,15 @@ def build_graph(
         attr_full = np.zeros((e_pad, attr_sorted.shape[1]), dtype=np.float32)
         attr_full[:e] = attr_sorted
 
+    # Pallas segment-sum tiling (receiver-tile edge ranges over the padded,
+    # receiver-sorted layout; padding rows sit in the last tile's range and
+    # are neutralized by the pre-masked messages).
+    from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS, build_tile_offsets
+
+    seg_starts, seg_ends, _, _ = build_tile_offsets(
+        r_full, num_receivers, DEFAULT_TILE_RECEIVERS
+    )
+
     neigh_senders = neigh_edge = neigh_mask = None
     if build_ell and e > 0:
         degrees = np.bincount(r_sorted, minlength=num_receivers)
@@ -149,6 +163,8 @@ def build_graph(
             neigh_edge = jnp.asarray(ne)
             neigh_mask = jnp.asarray(nm)
 
+    from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS as _TR
+
     return Graph(
         senders=jnp.asarray(s_full),
         receivers=jnp.asarray(r_full),
@@ -157,7 +173,10 @@ def build_graph(
         neigh_senders=neigh_senders,
         neigh_edge=neigh_edge,
         neigh_mask=neigh_mask,
+        seg_starts=jnp.asarray(seg_starts),
+        seg_ends=jnp.asarray(seg_ends),
         num_nodes=int(num_nodes),
         num_receivers=num_receivers,
         num_edges=e,
+        seg_tile_receivers=_TR,
     )

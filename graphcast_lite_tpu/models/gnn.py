@@ -283,7 +283,13 @@ class InteractionNetLayer(nn.Module):
             self.hidden_dim, self.edge_dim, self.activation, name="edge_mlp"
         )(edge_in)
 
-        if graph.has_ell:
+        use_pallas = (
+            graph.seg_starts is not None
+            and edge_update.shape[-1] % 128 == 0
+            and graph.num_edges >= 16384
+            and seg_ops.use_pallas_segment_sum()
+        )
+        if graph.has_ell and not use_pallas:
             emask = ell_ops.ell_mask(graph, mask)
             r, k = graph.neigh_edge.shape
             upd = jnp.take(

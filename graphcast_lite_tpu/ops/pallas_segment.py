@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: sorted-COO segment sum (the message-passing scatter).
+
+XLA lowers ``segment_sum`` to a serialized scatter-add (~35 GB/s effective on
+v5e for the multimesh workload).  This kernel reformulates the scatter as
+dense MXU work:
+
+* edges are pre-sorted by receiver (the framework's canonical layout), so a
+  tile of TR consecutive receivers owns one contiguous edge range;
+* the kernel streams that range in chunks of TE=1024 edges (coalesced,
+  double-buffered DMA from HBM into VMEM) and accumulates each 128-edge lane
+  group with a ONE-HOT MATMUL:
+
+      acc[TR, F] += OneHot[TR, 128] @ chunk_group[128, F],
+      OneHot[t, j] = (receiver[j] - r0 == t)
+
+  turning the scatter into systolic-array contractions — no serialization,
+  no random writes; the only memory traffic left is the streaming edge read.
+
+Alignment: DMA bases must respect Mosaic memref tiling, so per-tile starts
+are rounded down to a 1024-edge boundary on the host (TE is 1024 for the
+same reason) and receiver ids are stored as [E/128, 128] so their slices are
+(8, 128)-tile aligned.  Over-read rows belong to neighboring receiver tiles
+and are excluded by the one-hot's receiver-range test
+(0 <= receiver - r0 < TR), which also subsumes any edge-count check.
+Padded edges must carry zero messages (the framework's ``aggregate_sum``
+pre-multiplies by the edge mask).
+
+Host-side preparation (`build_tile_offsets`) runs once per static graph.
+Parity oracle: ``jax.ops.segment_sum`` — tested in interpret mode on CPU
+and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "build_tile_offsets",
+    "segment_sum_sorted",
+    "DEFAULT_TILE_RECEIVERS",
+    "TILE_EDGES",
+]
+
+DEFAULT_TILE_RECEIVERS = 256
+TILE_EDGES = 1024   # DMA chunk; also the base alignment (int32 (8,128) tiles)
+_LANES = 128
+
+
+def build_tile_offsets(
+    receivers_sorted: np.ndarray,
+    num_receivers: int,
+    tile_receivers: int = DEFAULT_TILE_RECEIVERS,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Per-receiver-tile edge ranges.
+
+    Returns (starts_aligned [ntiles], ends [ntiles], num_tiles, max_chunks):
+    starts rounded down to TILE_EDGES; ends exact; max_chunks bounds
+    ceil((end - start) / TILE_EDGES) over tiles.
+    """
+    receivers_sorted = np.asarray(receivers_sorted)
+    ntiles = (num_receivers + tile_receivers - 1) // tile_receivers
+    boundaries = np.arange(0, ntiles + 1) * tile_receivers
+    offs = np.searchsorted(receivers_sorted, boundaries, side="left")
+    starts = (offs[:-1] // TILE_EDGES) * TILE_EDGES
+    ends = offs[1:]
+    counts = np.maximum(ends - starts, 0)
+    max_chunks = int(np.ceil(counts.max() / TILE_EDGES)) if counts.size else 1
+    return (
+        starts.astype(np.int32),
+        ends.astype(np.int32),
+        ntiles,
+        max(max_chunks, 1),
+    )
+
+
+def _kernel(
+    starts_ref,      # scalar prefetch: [ntiles] int32 (TE-aligned)
+    ends_ref,        # scalar prefetch: [ntiles] int32 (exact)
+    msgs_ref,        # HBM: [E_ext, F]
+    recv_ref,        # HBM: [E_ext // 128, 128] int32 (row-major edge ids)
+    out_ref,         # VMEM tile: [TR, F] float32
+    msg_scratch,     # VMEM: [2, TE, F]
+    recv_scratch,    # VMEM: [2, TE // 128, 128] int32
+    sems,            # DMA semaphores [2, 2]
+    *,
+    tile_receivers: int,
+):
+    i = pl.program_id(0)
+    r0 = i * tile_receivers
+    start = pl.multiple_of(starts_ref[i], TILE_EDGES)
+    end = ends_ref[i]
+    tr, te = tile_receivers, TILE_EDGES
+    groups = te // _LANES
+    num_chunks = pl.cdiv(end - start, te)
+
+    def make_dma(slot, chunk_idx):
+        base = pl.multiple_of(start + chunk_idx * te, TILE_EDGES)
+        return (
+            pltpu.make_async_copy(
+                msgs_ref.at[pl.ds(base, te), :],
+                msg_scratch.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                recv_ref.at[pl.ds(base // _LANES, groups), :],
+                recv_scratch.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        d0, d1 = make_dma(0, 0)
+        d0.start()
+        d1.start()
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(chunk, _):
+        slot = chunk % 2
+
+        @pl.when(chunk + 1 < num_chunks)
+        def _():
+            d0, d1 = make_dma((chunk + 1) % 2, chunk + 1)
+            d0.start()
+            d1.start()
+
+        d0, d1 = make_dma(slot, chunk)
+        d0.wait()
+        d1.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANES), 0)
+        acc = jnp.zeros_like(out_ref)
+        for g in range(groups):
+            local = recv_scratch[slot, g, :].reshape(1, _LANES) - r0
+            onehot = jnp.where(rows == local, 1.0, 0.0).astype(
+                msg_scratch.dtype
+            )
+            # HIGHEST precision keeps f32 messages exact on the MXU (the
+            # default rounds operands to bf16); Mosaic rejects the flag for
+            # bf16 operands, where default precision is already exact for a
+            # 0/1 one-hot lhs.
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if msg_scratch.dtype == jnp.float32 else None
+            )
+            acc += jax.lax.dot_general(
+                onehot,
+                msg_scratch[slot, g * _LANES : (g + 1) * _LANES, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ).astype(out_ref.dtype)
+        out_ref[:] += acc
+        return ()
+
+    jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_receivers", "tile_receivers", "interpret"),
+)
+def segment_sum_sorted(
+    msgs: jnp.ndarray,            # [E_pad, F], sorted by receiver, pre-masked
+    recv1d: jnp.ndarray,          # [E_pad] int32, sorted
+    starts: jnp.ndarray,          # [ntiles] int32 (TE-aligned)
+    ends: jnp.ndarray,            # [ntiles] int32
+    num_receivers: int,
+    tile_receivers: int = DEFAULT_TILE_RECEIVERS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[r] = Σ_{e: recv[e]==r} msgs[e]; accumulation in float32; returns
+    [num_receivers, F] in msgs.dtype."""
+    e_pad, f = msgs.shape
+    tr, te = tile_receivers, TILE_EDGES
+    ntiles = (num_receivers + tr - 1) // tr
+    r_pad = ntiles * tr
+
+    # Extend the edge arrays so any tile's final TE-chunk DMA stays in
+    # bounds; extension rows carry receiver id -1 (never matches a tile).
+    e_ext = ((e_pad + te - 1) // te) * te + te
+    msgs_x = jnp.pad(msgs, ((0, e_ext - e_pad), (0, 0)))
+    recv_x = jnp.pad(recv1d, (0, e_ext - e_pad), constant_values=-1)
+    recv2d = recv_x.reshape(e_ext // _LANES, _LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tr, f), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, te, f), msgs.dtype),
+            pltpu.VMEM((2, te // _LANES, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_kernel, tile_receivers=tr)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_ext * tr * f,
+            bytes_accessed=e_ext * f * msgs.dtype.itemsize + r_pad * f * 4,
+            transcendentals=0,
+        ),
+    )(starts, ends, msgs_x, recv2d)
+    return out[:num_receivers].astype(msgs.dtype)

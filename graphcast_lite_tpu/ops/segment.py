@@ -56,15 +56,52 @@ def masked_in_degree(graph: Graph, edge_mask: Optional[jnp.ndarray] = None) -> j
     )
 
 
+def use_pallas_segment_sum() -> bool:
+    """Kernel path policy: on by default on TPU backends, off elsewhere;
+    override with GCLT_PALLAS_SEGMENT=0/1."""
+    import os
+
+    flag = os.environ.get("GCLT_PALLAS_SEGMENT")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def aggregate_sum(
     messages: jnp.ndarray,
     graph: Graph,
     edge_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Sum messages [E_pad, F] into receivers -> [R, F] (COO path)."""
+    """Sum messages [E_pad, F] into receivers -> [R, F] (COO path).
+
+    On TPU, routes through the Pallas sorted-segment kernel (one-hot-matmul
+    accumulation, `ops.pallas_segment`); falls back to
+    ``jax.ops.segment_sum`` elsewhere or when the graph carries no tiling.
+    """
     mask = graph.edge_mask if edge_mask is None else edge_mask
+    masked = messages * mask[:, None]
+    if (
+        graph.seg_starts is not None
+        and masked.ndim == 2
+        and masked.shape[-1] % 128 == 0
+        and graph.num_edges >= 16384  # kernel overhead beats XLA only at scale
+        and use_pallas_segment_sum()
+    ):
+        from .pallas_segment import segment_sum_sorted
+
+        return segment_sum_sorted(
+            masked,
+            graph.receivers,
+            graph.seg_starts,
+            graph.seg_ends,
+            graph.num_receivers,
+            graph.seg_tile_receivers,
+        )
     return jax.ops.segment_sum(
-        messages * mask[:, None],
+        masked,
         graph.receivers,
         num_segments=graph.num_receivers,
         indices_are_sorted=True,
