@@ -41,17 +41,14 @@ def radius_query_edges(
     """All (grid_index, mesh_index) pairs with chordal distance <= radius.
 
     Grid flattening order is lat-major via ``np.meshgrid(lon, lat)`` (regular
-    mode).  Edge order: grouped by grid index ascending, mesh neighbors in
-    KD-tree order — same as the reference's per-point loop.
+    mode).  Edge order: grouped by grid index ascending, mesh neighbors
+    ascending.  Routed through the native spatial engine (csrc/spatial.cpp)
+    with a SciPy fallback.
     """
+    from . import native
+
     grid_pos = grid_lat_lon_to_cartesian(grid_lat, grid_lon, flat=flat)
-    tree = cKDTree(mesh.vertices)
-    neighbors = tree.query_ball_point(x=grid_pos, r=radius)
-    counts = np.fromiter((len(n) for n in neighbors), dtype=np.int64, count=len(neighbors))
-    grid_idx = np.repeat(np.arange(len(neighbors), dtype=np.int64), counts)
-    mesh_idx = np.concatenate([np.asarray(n, dtype=np.int64) for n in neighbors]) \
-        if counts.sum() else np.zeros(0, dtype=np.int64)
-    return grid_idx, mesh_idx
+    return native.ball_query(mesh.vertices, grid_pos, radius)
 
 
 def _closest_point_on_triangles(
@@ -120,12 +117,18 @@ def closest_faces(
 ) -> np.ndarray:
     """Index of the mesh face closest to each query point [N, 3].
 
-    KD-tree over face centroids proposes `num_candidates` faces per point;
-    the exact point-triangle distance picks the minimum.  For near-uniform
-    spherical triangulations a handful of candidates suffices; the tie cases
-    (point exactly on a shared edge) may pick either adjacent face, like any
-    floating-point implementation.
+    Routed through the native engine (grid over centroids + exact
+    closest-point-on-triangle, csrc/spatial.cpp) when available; the NumPy
+    path below proposes `num_candidates` candidate faces via a KD-tree over
+    centroids and picks the exact minimum.  Tie cases (point exactly on a
+    shared edge) may pick either adjacent face, like any floating-point
+    implementation.
     """
+    from . import native
+
+    if native.native_available():
+        return native.closest_face(mesh.vertices, mesh.faces, points)
+
     faces = mesh.faces
     tri = mesh.vertices[faces]  # [F, 3, 3]
     centroids = tri.mean(axis=1)
@@ -176,11 +179,12 @@ def knn_edges(
     """Receiver-centric k-NN: each receiver connects to its k nearest senders.
 
     Returns (senders [R*k], receivers [R*k], distances [R*k]).
-    Used by the dual-mesh / ROI-residual regional builders.
+    Used by the dual-mesh / ROI-residual regional builders.  Routed through
+    the native spatial engine with a SciPy fallback.
     """
+    from . import native
+
     k = min(k, len(sender_pos))
-    dist, idx = cKDTree(sender_pos).query(receiver_pos, k=k)
-    if k == 1:
-        dist, idx = dist[:, None], idx[:, None]
+    idx, dist = native.knn_query(sender_pos, receiver_pos, k)
     receivers = np.repeat(np.arange(len(receiver_pos), dtype=np.int64), k)
     return idx.reshape(-1).astype(np.int64), receivers, dist.reshape(-1)
