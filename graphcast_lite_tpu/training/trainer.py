@@ -362,6 +362,11 @@ class Trainer:
             with open(log_path, "a") as f:
                 f.write(msg + "\n")
 
+        from ..utils.logs import MetricsLogger
+
+        metrics = MetricsLogger(self.results_dir)
+        profile_dir = os.environ.get("GCLT_PROFILE_DIR")
+
         log(f"=== Training started: {datetime.now().isoformat()} ===")
         log(f"epochs={num_epochs}  max_ar={max_ar}  "
             f"epochs_per_stage={epochs_per_stage}")
@@ -406,9 +411,16 @@ class Trainer:
                 prune = self.using_sparse_gat and i == 0 and thr > 0
                 p_avail = y.shape[-1] // self.spec.num_features
                 steps = min(ar_steps, p_avail)
+                capture = profile_dir and epoch == start_epoch and i == 1
+                if capture:  # pragma: no cover - profiling side channel
+                    jax.profiler.start_trace(profile_dir)
                 state, loss = self.train_step(
                     state, x, y, steps, thr, prune, freeze
                 )
+                if capture:  # pragma: no cover
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    print(f"[profiler] step trace -> {profile_dir}")
                 total += float(loss)
                 n_batches += 1
             train_loss = total / max(n_batches, 1)
@@ -423,6 +435,14 @@ class Trainer:
                     f"val={v_loss:.5f} ACC={v_acc:.4f} rawRMSE={v_rmse:.4f} "
                     f"AR={ar_steps} ({time.time() - t_epoch:.1f}s)"
                 )
+
+            metrics.log({
+                "epoch": epoch + 1, "ar_steps": ar_steps,
+                "train_loss": train_loss, "val_loss": v_loss,
+                "val_acc": v_acc, "raw_rmse": v_rmse,
+                "attention_threshold": thr,
+                "epoch_seconds": time.time() - t_epoch,
+            })
 
             if best_val - v_loss > cfg.early_stopping_delta:
                 best_val = v_loss

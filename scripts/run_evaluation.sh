@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Evaluation pipeline for a trained experiment: inference -> per-channel
+# tables -> metric maps -> DA comparison -> summary.
+# ~ reference scripts/run_evaluation.sh.
+#
+# Usage: scripts/run_evaluation.sh <exp_dir> [ar_steps]
+set -eu
+EXP=$1
+AR=${2:-4}
+cd "$(dirname "$0")/.."
+
+python -m graphcast_lite_tpu.cli.predict "$EXP" --ar-steps "$AR" \
+    --per-channel --save-preds "$EXP/predictions.npz" \
+    --report-json "$EXP/eval_report.json" | tee "$EXP/eval.log"
+
+python -m graphcast_lite_tpu.cli.predict "$EXP" --ar-steps "$AR" \
+    --da nudging --da-alpha 0.5 --obs-sparsity 0.1 \
+    --report-json "$EXP/eval_nudging.json" | tee -a "$EXP/eval.log"
+
+python - "$EXP" <<'PY'
+import json, sys, numpy as np
+from graphcast_lite_tpu.inference.maps import pixel_metrics, plot_metric_maps
+exp = sys.argv[1]
+blob = np.load(f"{exp}/predictions.npz")
+rep = json.load(open(f"{exp}/eval_report.json"))
+c = int(blob["n_features"])
+m = pixel_metrics(blob["predictions"], blob["ground_truth"], c)
+n_lat, n_lon = int(blob["n_lat"]), int(blob["n_lon"])
+if n_lat and n_lon:
+    lats = np.arange(n_lat); lons = np.arange(n_lon)
+    plot_metric_maps(m, lats, lons, 0, f"{exp}/metric_maps.png")
+    print(f"maps -> {exp}/metric_maps.png")
+print(f"skill {rep['skill']*100:.2f}%")
+PY
+echo "[evaluation] complete"
