@@ -254,6 +254,72 @@ class _TwoLayerMLP(nn.Module):
         return TorchLinear(self.out, name="lin_1")(x)
 
 
+class _ParamLinear(nn.Module):
+    """Declares TorchLinear-compatible params without applying them (used
+    where the matmul is algebraically restructured by the caller)."""
+
+    in_features: int
+    out_features: int
+
+    def setup(self):
+        import numpy as _np
+
+        bound = 1.0 / _np.sqrt(self.in_features)
+        self.kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-bound, maxval=bound
+            ),
+            (self.in_features, self.out_features),
+        )
+        self.bias = self.param(
+            "bias",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-bound, maxval=bound
+            ),
+            (self.out_features,),
+        )
+
+    def __call__(self, x):  # pragma: no cover - not used directly
+        return x @ self.kernel + self.bias
+
+
+class _SplitEdgeMLP(nn.Module):
+    """The InteractionNet edge MLP with the first matmul split by input
+    blocks:  W1 @ [h_s ‖ h_r ‖ e]  ==  W1s h_s + W1r h_r + W1e e.
+
+    Identical math and identical parameter layout to _TwoLayerMLP over the
+    concatenated input, but the sender/receiver projections run in NODE
+    space (N rows) before the edge gathers instead of in EDGE space
+    (E ≈ 6N rows): ~55% fewer first-layer FLOPs and no [E, 3D] concat
+    materialization — the dominant HBM traffic of the processor loop.
+    """
+
+    node_dim: int
+    edge_dim: int
+    hidden: int
+    out: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, edge_attr, senders, receivers):
+        d, de = self.node_dim, self.edge_dim
+        lin_0 = _ParamLinear(2 * d + de, self.hidden, name="lin_0")
+        k = lin_0.kernel
+        xs = x @ k[:d]
+        xr = x @ k[d : 2 * d]
+        ep = edge_attr @ k[2 * d :]
+        h = (
+            jnp.take(xs, senders, axis=0)
+            + jnp.take(xr, receivers, axis=0)
+            + ep
+            + lin_0.bias
+        )
+        act = resolve_activation(self.activation)
+        h = PReLU(name="act")(h) if act is None else act(h)
+        return TorchLinear(self.out, name="lin_1")(h)
+
+
 class InteractionNetLayer(nn.Module):
     """One GraphCast-style interaction step (reference src/models.py:166-236).
 
@@ -276,12 +342,11 @@ class InteractionNetLayer(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mask = _edge_mask(graph, edge_mask)
-        h_s = jnp.take(x, graph.senders, axis=0)
-        h_r = jnp.take(x, graph.receivers, axis=0)
-        edge_in = jnp.concatenate([h_s, h_r, edge_attr], axis=-1)
-        edge_update = _TwoLayerMLP(
-            self.hidden_dim, self.edge_dim, self.activation, name="edge_mlp"
-        )(edge_in)
+        edge_update = _SplitEdgeMLP(
+            node_dim=self.node_dim, edge_dim=self.edge_dim,
+            hidden=self.hidden_dim, out=self.edge_dim,
+            activation=self.activation, name="edge_mlp",
+        )(x, edge_attr, graph.senders, graph.receivers)
 
         use_pallas = (
             graph.seg_starts is not None
