@@ -1,0 +1,142 @@
+"""Spatial graph partitioning for SPMD message passing (host side).
+
+Domain decomposition of a node set into S latitude bands (SURVEY §5.8 /
+§2.9 design): each shard owns a contiguous block of the permuted node
+order, every edge is assigned to the shard that owns its RECEIVER, senders
+keep global (permuted, padded-layout) ids so a halo gather of node features
+makes every message computable locally.
+
+Products (all leading-axis-stacked per shard, equal padded sizes — the
+layout `jax.shard_map` consumes):
+
+  * node permutation old→new + per-shard node validity masks;
+  * per-shard edge arrays: global sender ids (into the padded stacked node
+    layout), local receiver ids, edge masks, edge attributes;
+  * helpers to scatter node arrays into the sharded layout and back.
+
+The round-1 halo strategy is gather-by-owner (`all_gather` of the node
+features, correct for arbitrary edge spans — the multimesh's coarse levels
+connect distant bands); the banded-neighbor `ppermute` exchange for the
+fine-level edges is the planned refinement and slots into the same layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .structure import Graph
+
+__all__ = ["ShardedGraph", "partition_nodes_by_latitude", "shard_graph",
+           "scatter_nodes", "gather_nodes"]
+
+
+@dataclasses.dataclass
+class ShardedGraph:
+    """Per-shard padded edge/node layout (NumPy; ship with jnp.asarray)."""
+
+    # nodes
+    perm: np.ndarray          # [N] old id -> slot in padded stacked layout
+    inv_slots: np.ndarray     # [S, N_s] slot -> old id (-1 for padding)
+    node_mask: np.ndarray     # [S, N_s] 1 for real nodes
+    # edges (receiver-sharded)
+    senders_global: np.ndarray   # [S, E_s] ids into the padded stacked layout
+    receivers_local: np.ndarray  # [S, E_s] ids into the shard's node block
+    edge_mask: np.ndarray        # [S, E_s]
+    edge_attr: Optional[np.ndarray]  # [S, E_s, F_e]
+    num_shards: int
+    nodes_per_shard: int
+    num_nodes: int
+
+    @property
+    def padded_num_nodes(self) -> int:
+        return self.num_shards * self.nodes_per_shard
+
+
+def partition_nodes_by_latitude(
+    node_lats: np.ndarray, num_shards: int
+) -> np.ndarray:
+    """[N] shard id per node: contiguous latitude bands balanced by count."""
+    order = np.argsort(node_lats, kind="stable")
+    shard_of = np.empty(len(node_lats), np.int32)
+    splits = np.array_split(order, num_shards)
+    for s, idx in enumerate(splits):
+        shard_of[idx] = s
+    return shard_of
+
+
+def shard_graph(
+    graph: Graph,
+    node_shard: np.ndarray,
+    num_shards: int,
+    pad_edges_multiple: int = 128,
+) -> ShardedGraph:
+    """Partition a (unified-node-space) Graph by receiver ownership."""
+    n = graph.num_nodes
+    senders = np.asarray(graph.senders)[: graph.num_edges]
+    receivers = np.asarray(graph.receivers)[: graph.num_edges]
+    attr = (np.asarray(graph.edge_attr)[: graph.num_edges]
+            if graph.edge_attr is not None else None)
+
+    # Node layout: nodes grouped by shard, padded to the max block size.
+    nodes_of = [np.flatnonzero(node_shard == s) for s in range(num_shards)]
+    n_s = max(len(x) for x in nodes_of)
+    perm = np.full(n, -1, np.int64)
+    inv = np.full((num_shards, n_s), -1, np.int64)
+    node_mask = np.zeros((num_shards, n_s), np.float32)
+    for s, ids in enumerate(nodes_of):
+        slots = s * n_s + np.arange(len(ids))
+        perm[ids] = slots
+        inv[s, : len(ids)] = ids
+        node_mask[s, : len(ids)] = 1.0
+
+    # Edge layout: receiver-owned, padded to the max shard edge count.
+    recv_shard = node_shard[receivers]
+    e_per = [np.flatnonzero(recv_shard == s) for s in range(num_shards)]
+    e_max = max(len(x) for x in e_per)
+    e_max = ((e_max + pad_edges_multiple - 1) // pad_edges_multiple
+             ) * pad_edges_multiple
+    sg = np.zeros((num_shards, e_max), np.int32)
+    rl = np.zeros((num_shards, e_max), np.int32)
+    em = np.zeros((num_shards, e_max), np.float32)
+    ea = (np.zeros((num_shards, e_max, attr.shape[1]), np.float32)
+          if attr is not None else None)
+    for s, idx in enumerate(e_per):
+        k = len(idx)
+        sg[s, :k] = perm[senders[idx]]
+        rl[s, :k] = perm[receivers[idx]] - s * n_s
+        em[s, :k] = 1.0
+        if ea is not None:
+            ea[s, :k] = attr[idx]
+        # Padding receivers point at the last local row (keeps ids in range).
+        rl[s, k:] = n_s - 1
+
+    return ShardedGraph(
+        perm=perm,
+        inv_slots=inv,
+        node_mask=node_mask,
+        senders_global=sg,
+        receivers_local=rl,
+        edge_mask=em,
+        edge_attr=ea,
+        num_shards=num_shards,
+        nodes_per_shard=n_s,
+        num_nodes=n,
+    )
+
+
+def scatter_nodes(sg: ShardedGraph, x: np.ndarray) -> np.ndarray:
+    """[N, F] node array -> sharded layout [S, N_s, F] (padding rows 0)."""
+    f = x.shape[-1]
+    out = np.zeros((sg.num_shards, sg.nodes_per_shard, f), x.dtype)
+    flat = out.reshape(-1, f)
+    flat[sg.perm] = x
+    return out
+
+
+def gather_nodes(sg: ShardedGraph, x_sharded: np.ndarray) -> np.ndarray:
+    """Sharded layout [S, N_s, F] -> original node order [N, F]."""
+    flat = np.asarray(x_sharded).reshape(-1, x_sharded.shape[-1])
+    return flat[sg.perm]
