@@ -131,8 +131,101 @@ def bench_config(config_name: str, iters: int, dtype_name: str):
     }
 
 
+def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
+    """Full train-step (AR-4 BPTT + Adam) throughput.
+
+    mixed=True: bf16 activations/compute with fp32 master params and fp32
+    grad application (standard mixed precision — halves the rollout's
+    activation memory, which is what bounds AR-4 BPTT at 512x256)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.models.weather import ModelGraphs, WeatherModel
+    from graphcast_lite_tpu.training.rollout import RolloutSpec, rollout_loss
+
+    if config_name == "64x32":
+        cfg = presets.interaction_net_64x32()
+        lat, lon = presets.wb2_64x32_grid()
+    else:
+        cfg = presets.interaction_net_512x256()
+        lat, lon = presets.wb2_512x256_grid()
+    n_feat, obs, ar = (cfg.data.num_features_used, cfg.data.obs_window_used,
+                       cfg.max_ar_steps)
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(pipeline=cfg.pipeline, data=cfg.data,
+                         num_grid_nodes=gs.num_grid_nodes,
+                         num_mesh_nodes=gs.num_mesh_nodes)
+    g = gs.num_grid_nodes
+    spec = RolloutSpec(obs_window=obs, num_features=n_feat,
+                       use_residual=True, remat=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(g, obs, n_feat).astype(np.float32))
+    y = jnp.asarray(rng.randn(g, ar, n_feat).astype(np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x.reshape(g, obs * n_feat), graphs
+    )
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    cdtype = jnp.bfloat16 if mixed else jnp.float32
+
+    def loss_fn(params, window, targets, graphs):
+        params_c = jax.tree.map(
+            lambda p: p.astype(cdtype) if p.dtype == jnp.float32 else p,
+            params,
+        )
+
+        def model_fn(inp, m, t, p):
+            out, _ = model.apply(params_c, inp, graphs, m, t, p)
+            return out, None
+
+        loss, _ = rollout_loss(
+            model_fn, window.astype(cdtype), targets.astype(cdtype), ar, spec
+        )
+        return loss.astype(jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, x, y, graphs):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, graphs)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+    return {
+        "train_step_ms": dt * 1e3,
+        "train_grid_points_per_s": g * ar / dt,
+        "compile_s": round(compile_s, 1),
+        "loss": float(loss),
+        "grid_nodes": g,
+        "ar_steps": ar,
+    }
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only == "train":
+        cfgname = sys.argv[2] if len(sys.argv) > 2 else "512x256"
+        res = bench_training(cfgname)
+        print(json.dumps({
+            "metric": f"train_grid_points_per_s_per_chip_{cfgname}_ar4",
+            "value": round(res["train_grid_points_per_s"], 1),
+            "unit": "grid-points/s", "vs_baseline": 0.0, "extra": res,
+        }))
+        return
     extra = {}
     res_small = None
     res_big = None

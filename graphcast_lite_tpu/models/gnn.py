@@ -411,8 +411,12 @@ class InteractionNetProcessor(nn.Module):
         act = resolve_activation(self.activation)
         e = PReLU(name="edge_encoder_act")(e) if act is None else act(e)
 
+        # remat each scanned step: backward recomputes one step's edge/node
+        # activations at a time instead of saving all N (at 512x256 the
+        # saved intermediates alone exceed HBM ~7x); only the (x, e) carries
+        # are kept.
         scanned = nn.scan(
-            _ScannedINStep,
+            nn.remat(_ScannedINStep, prevent_cse=False),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,

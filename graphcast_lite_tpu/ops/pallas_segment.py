@@ -165,8 +165,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("num_receivers", "tile_receivers", "interpret"),
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
 )
 def segment_sum_sorted(
     msgs: jnp.ndarray,            # [E_pad, F], sorted by receiver, pre-masked
@@ -178,7 +177,45 @@ def segment_sum_sorted(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[r] = Σ_{e: recv[e]==r} msgs[e]; accumulation in float32; returns
-    [num_receivers, F] in msgs.dtype."""
+    [num_receivers, F] in msgs.dtype.
+
+    Differentiable via custom VJP: the adjoint of a segment sum is a gather
+    of the cotangent by receiver id (padded edges read a valid row; their
+    gradient dies in the caller's mask multiply).
+    """
+    return _segment_sum_impl(msgs, recv1d, starts, ends, num_receivers,
+                             tile_receivers, interpret)
+
+
+def _segment_sum_fwd(msgs, recv1d, starts, ends, num_receivers,
+                     tile_receivers, interpret):
+    out = _segment_sum_impl(msgs, recv1d, starts, ends, num_receivers,
+                            tile_receivers, interpret)
+    return out, (recv1d,)
+
+
+def _segment_sum_bwd(num_receivers, tile_receivers, interpret, res, g):
+    (recv1d,) = res
+    gmsgs = jnp.take(g, jnp.clip(recv1d, 0, num_receivers - 1), axis=0)
+    return gmsgs, None, None, None
+
+
+segment_sum_sorted.defvjp(_segment_sum_fwd, _segment_sum_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_receivers", "tile_receivers", "interpret"),
+)
+def _segment_sum_impl(
+    msgs: jnp.ndarray,
+    recv1d: jnp.ndarray,
+    starts: jnp.ndarray,
+    ends: jnp.ndarray,
+    num_receivers: int,
+    tile_receivers: int = DEFAULT_TILE_RECEIVERS,
+    interpret: bool = False,
+) -> jnp.ndarray:
     e_pad, f = msgs.shape
     tr, te = tile_receivers, TILE_EDGES
     ntiles = (num_receivers + tr - 1) // tr

@@ -117,9 +117,10 @@ def rollout_loss(
     """
     step_fn = _one_step
     if spec.remat:
-        step_fn = jax.checkpoint(
-            _one_step, static_argnums=(0, 4, 5), prevent_cse=False
-        )
+        # prevent_cse must stay True (the default): the AR loop is a python
+        # loop, and with CSE enabled XLA merges the backward's recompute
+        # with the forward — silently re-saving every step's activations.
+        step_fn = jax.checkpoint(_one_step, static_argnums=(0, 4, 5))
 
     total = 0.0
     for step in range(steps):
