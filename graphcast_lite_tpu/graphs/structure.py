@@ -74,6 +74,9 @@ class Graph:
     # the kernel path for this graph.
     seg_starts: Optional[jnp.ndarray] = None
     seg_ends: Optional[jnp.ndarray] = None
+    # Fast-adjoint gather aux (sender-sorted permutations for the backward).
+    senders_aux: Optional[object] = None
+    receivers_aux: Optional[object] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_receivers: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
@@ -164,6 +167,12 @@ def build_graph(
             neigh_mask = jnp.asarray(nm)
 
     from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS as _TR
+    from ..ops.gather import build_gather_aux
+
+    # Sender gathers appear in every message-passing step; precompute the
+    # sort-aux that lets their adjoint run through the Pallas kernel.
+    senders_aux = build_gather_aux(s_full, int(num_nodes))
+    receivers_aux = build_gather_aux(r_full, num_receivers)
 
     return Graph(
         senders=jnp.asarray(s_full),
@@ -175,6 +184,8 @@ def build_graph(
         neigh_mask=neigh_mask,
         seg_starts=jnp.asarray(seg_starts),
         seg_ends=jnp.asarray(seg_ends),
+        senders_aux=senders_aux,
+        receivers_aux=receivers_aux,
         num_nodes=int(num_nodes),
         num_receivers=num_receivers,
         num_edges=e,

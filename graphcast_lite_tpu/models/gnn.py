@@ -95,8 +95,12 @@ class GCNConv(nn.Module):
         if graph.has_ell:
             agg = ell_ops.aggregate_sum_ell(xw, graph, mask, edge_scale=norm)
         else:
+            from ..ops.gather import gather_rows
+
             agg = seg_ops.aggregate_sum(
-                jnp.take(xw, graph.senders, axis=0) * norm[:, None], graph, mask
+                gather_rows(xw, graph.senders_aux, graph.senders)
+                * norm[:, None],
+                graph, mask,
             )
         # Implicit self loop: norm_ii = 1/deg_i.
         out = agg + xw / deg[:, None]
@@ -302,7 +306,9 @@ class _SplitEdgeMLP(nn.Module):
     activation: str = "swish"
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, graph: Graph):
+        from ..ops.gather import gather_rows
+
         d, de = self.node_dim, self.edge_dim
         lin_0 = _ParamLinear(2 * d + de, self.hidden, name="lin_0")
         k = lin_0.kernel
@@ -310,8 +316,8 @@ class _SplitEdgeMLP(nn.Module):
         xr = x @ k[d : 2 * d]
         ep = edge_attr @ k[2 * d :]
         h = (
-            jnp.take(xs, senders, axis=0)
-            + jnp.take(xr, receivers, axis=0)
+            gather_rows(xs, graph.senders_aux, graph.senders)
+            + gather_rows(xr, graph.receivers_aux, graph.receivers)
             + ep
             + lin_0.bias
         )
@@ -346,7 +352,7 @@ class InteractionNetLayer(nn.Module):
             node_dim=self.node_dim, edge_dim=self.edge_dim,
             hidden=self.hidden_dim, out=self.edge_dim,
             activation=self.activation, name="edge_mlp",
-        )(x, edge_attr, graph.senders, graph.receivers)
+        )(x, edge_attr, graph)
 
         use_pallas = (
             graph.seg_starts is not None
