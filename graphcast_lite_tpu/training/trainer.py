@@ -218,12 +218,30 @@ class Trainer:
             new_mask = jax.tree.map(lambda m: m[0], masks)
         return out, new_mask
 
+    @property
+    def _compute_dtype(self):
+        name = (self.config.tpu.compute_dtype or "float32").lower()
+        return jnp.bfloat16 if name in ("bfloat16", "bf16") else jnp.float32
+
     def _make_train_step(self, steps: int, prune: bool, freeze_processor: bool):
+        cdtype = self._compute_dtype
+
         def loss_fn(params, window, targets, edge_mask, thr):
+            # Mixed precision: bf16 compute against fp32 master params
+            # (config.tpu.compute_dtype); loss/grads re-cast to fp32.
+            params_c = params
+            if cdtype != jnp.float32:
+                params_c = jax.tree.map(
+                    lambda p: p.astype(cdtype)
+                    if p.dtype == jnp.float32 else p,
+                    params,
+                )
+                window = window.astype(cdtype)
+                targets = targets.astype(cdtype)
             model_fn = lambda inp, m, t, p: self._batched_apply(
-                params, inp, m, t, p
+                params_c, inp, m, t, p
             )
-            return rollout_loss(
+            loss, new_mask = rollout_loss(
                 model_fn,
                 window,
                 targets,
@@ -236,6 +254,7 @@ class Trainer:
                 self.chan_mask,
                 self.spatial_mask,
             )
+            return loss.astype(jnp.float32), new_mask
 
         def step(state: TrainState, x, y, thr):
             b, g = x.shape[0], x.shape[1]
@@ -245,6 +264,10 @@ class Trainer:
             (loss, new_mask), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, window, targets, state.edge_mask, thr)
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32)
+                if g.dtype == jnp.bfloat16 else g, grads
+            )
             if freeze_processor:
                 grads = _zero_processor_grads(grads)
             updates, opt_state = self.optimizer.update(

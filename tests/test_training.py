@@ -185,3 +185,20 @@ def test_carry_forward_channels(tmp_path):
     np.testing.assert_allclose(
         np.asarray(preds[..., 4]), np.asarray(targets[..., 4]), atol=1e-6
     )
+
+
+def test_mixed_precision_training(tmp_path):
+    """bf16-compute training (fp32 master params) must also converge."""
+    cfg, model, graphs, train_ds, val_ds, _, meta = small_experiment(
+        tmp_path, max_ar=1
+    )
+    cfg = cfg.model_copy(update={"num_epochs": 3})
+    cfg.tpu.compute_dtype = "bfloat16"
+    trainer = Trainer(model, graphs, cfg, meta, str(tmp_path / "results_mp"))
+    state = trainer.init_state(seed=0)
+    results = trainer.fit(state, train_ds, val_ds, print_losses=False)
+    assert results["val_losses"][-1] < results["val_losses"][0]
+    # Master params stayed fp32.
+    import jax
+    assert all(p.dtype == np.float32 or p.dtype == np.int32
+               for p in jax.tree.leaves(trainer.final_state.params))
