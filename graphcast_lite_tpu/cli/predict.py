@@ -80,8 +80,22 @@ def main(argv=None):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, graphs)
     ckpt = args.checkpoint or os.path.join(args.exp_dir, "best_model.msgpack")
     if os.path.exists(ckpt):
-        params = ckpt_lib.load_params(ckpt, params)
-        print(f"[predict] loaded {ckpt}")
+        try:
+            params = ckpt_lib.load_params(ckpt, params)
+            print(f"[predict] loaded {ckpt}")
+        except Exception:
+            # Structure changed (e.g. a regional/pruned-mesh rebuild of a
+            # global checkpoint — the reference's --prune-mesh path,
+            # scripts/predict.py:266-272): restore the matching subtrees.
+            import msgpack  # noqa: F401 - ensure clear failure if absent
+            from flax import serialization
+
+            with open(ckpt, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+            params, report = ckpt_lib.partial_restore(params, raw)
+            print(f"[predict] non-strict restore from {ckpt} "
+                  f"(missing={len(report['missing'])}, "
+                  f"mismatched={len(report['mismatched'])})")
     else:
         print(f"[predict] WARNING: no checkpoint at {ckpt}; "
               "evaluating random init")
