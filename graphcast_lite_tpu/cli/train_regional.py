@@ -46,6 +46,12 @@ def main(argv=None):
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     parser.add_argument("--overfit-test", action="store_true",
                         help="run the 1-sample overfit sanity check first")
+    parser.add_argument("--evaluate", action="store_true",
+                        help="after training (or on a saved head) run AR "
+                        "evaluation of the composed model with region "
+                        "metrics (~ reference predict_dual_mesh.py)")
+    parser.add_argument("--evaluate-only", action="store_true")
+    parser.add_argument("--ar-steps", type=int, default=1)
     args = parser.parse_args(argv)
 
     import jax
@@ -169,6 +175,41 @@ def main(argv=None):
         updates, os_ = opt.update(grads, os_, rp)
         return optax.apply_updates(rp, updates), os_, loss
 
+    head_path = os.path.join(out_dir, "regional_head.msgpack")
+
+    def run_evaluation(rp):
+        """Composed-model AR evaluation with ROI metrics
+        (~ reference scripts/predict_dual_mesh.py)."""
+        from ..inference.predict import evaluate_model
+
+        class _Composed:
+            """Duck-typed model: apply() returns the composed delta."""
+
+            @staticmethod
+            def apply(params, x, graphs_=None, edge_mask=None, *a, **k):
+                return forward(params, x), edge_mask
+
+        _, _, eval_ds, _ = load_chunked_datasets(
+            data_dir, obs_window=obs,
+            pred_steps=max(args.ar_steps, 1), n_features=c,
+        )
+        report = evaluate_model(
+            _Composed, rp, None, eval_ds, meta, ar_steps=args.ar_steps,
+            use_residual=cfg.use_residual,
+            static_channels=tuple(cfg.static_channels),
+            forcing_channels=tuple(cfg.forcing_channels),
+            region=roi,
+        )
+        print(report.summary())
+        return report
+
+    if args.evaluate_only:
+        if os.path.exists(head_path):
+            rparams = ckpt_lib.load_params(head_path, rparams)
+            print(f"[regional] loaded head {head_path}")
+        run_evaluation(rparams)
+        return
+
     if args.overfit_test:
         x0, y0 = train_ds.get(0)
         x0 = jnp.asarray(x0)
@@ -204,10 +245,10 @@ def main(argv=None):
         print(f"[epoch {epoch + 1}] train={total / max(nb, 1):.5f} val={v:.5f}")
         if v < best:
             best = v
-            ckpt_lib.save_params(
-                os.path.join(out_dir, "regional_head.msgpack"), rparams
-            )
+            ckpt_lib.save_params(head_path, rparams)
     print(f"[done] best val {best:.5f}; head saved in {out_dir}")
+    if args.evaluate:
+        run_evaluation(rparams)
 
 
 if __name__ == "__main__":
