@@ -51,6 +51,7 @@ __all__ = [
 DEFAULT_TILE_RECEIVERS = 256
 TILE_EDGES = 1024   # DMA chunk; also the base alignment (int32 (8,128) tiles)
 _LANES = 128
+_N_BUF = 4   # in-flight DMA chunk buffers per tile
 
 
 def build_tile_offsets(
@@ -115,20 +116,23 @@ def _kernel(
             ),
         )
 
-    @pl.when(num_chunks > 0)
-    def _():
-        d0, d1 = make_dma(0, 0)
-        d0.start()
-        d1.start()
+    # Deep pipeline: issue up to N_BUF chunk DMAs at tile start so latency
+    # is hidden even on the first chunks (typical tiles have <= 4 chunks).
+    for c in range(_N_BUF):
+        @pl.when(c < num_chunks)
+        def _(c=c):
+            d0, d1 = make_dma(c % _N_BUF, c)
+            d0.start()
+            d1.start()
 
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(chunk, _):
-        slot = chunk % 2
+        slot = chunk % _N_BUF
 
-        @pl.when(chunk + 1 < num_chunks)
+        @pl.when(chunk + _N_BUF < num_chunks)
         def _():
-            d0, d1 = make_dma((chunk + 1) % 2, chunk + 1)
+            d0, d1 = make_dma((chunk + _N_BUF) % _N_BUF, chunk + _N_BUF)
             d0.start()
             d1.start()
 
@@ -239,9 +243,9 @@ def _segment_sum_impl(
             (tr, f), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, te, f), msgs.dtype),
-            pltpu.VMEM((2, te // _LANES, _LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((_N_BUF, te, f), msgs.dtype),
+            pltpu.VMEM((_N_BUF, te // _LANES, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((_N_BUF, 2)),
         ],
     )
     kernel = functools.partial(_kernel, tile_receivers=tr)
