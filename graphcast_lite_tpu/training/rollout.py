@@ -109,10 +109,13 @@ def rollout_loss(
     lat_weights: Optional[jnp.ndarray] = None,
     chan_mask: Optional[jnp.ndarray] = None,
     spatial_mask: Optional[jnp.ndarray] = None,
+    extra_loss_fn: Optional[Callable] = None,
 ):
     """Mean weighted-MSE over `steps` AR steps (BPTT through all of them).
 
     model_fn(inp [..., G, obs·C], edge_mask, thr, prune) -> (delta, mask').
+    extra_loss_fn(out [..., G, C], target) -> scalar — additional loss terms
+    added per step (e.g. spectral/Sobel losses for the CNN stacks).
     Returns (loss, new_edge_mask).
     """
     step_fn = _one_step
@@ -131,6 +134,8 @@ def rollout_loss(
         total = total + weighted_mse(
             out, target, lat_weights, chan_mask, spatial_mask
         )
+        if extra_loss_fn is not None:
+            total = total + extra_loss_fn(out, target)
         out = carry_forward(out, window[..., -1, :], target, spec)
         window = jnp.concatenate(
             [window[..., 1:, :], out[..., None, :]], axis=-2

@@ -121,6 +121,7 @@ class Trainer:
         results_dir: str,
         processor_lr_factor: float = 1.0,
         optimizer: Optional[optax.GradientTransformation] = None,
+        extra_loss_fn: Optional[Callable] = None,
     ):
         self.model = model
         self.graphs = graphs
@@ -177,6 +178,7 @@ class Trainer:
         self.optimizer = optimizer if optimizer is not None else build_optimizer(
             config.learning_rate, processor_lr_factor
         )
+        self.extra_loss_fn = extra_loss_fn
         self._train_step_cache: Dict[Tuple, Callable] = {}
         self._eval_step_cache: Optional[Callable] = None
 
@@ -253,6 +255,7 @@ class Trainer:
                 self.lat_weights,
                 self.chan_mask,
                 self.spatial_mask,
+                extra_loss_fn=self.extra_loss_fn,
             )
             return loss.astype(jnp.float32), new_mask
 
