@@ -129,13 +129,6 @@ def _kernel(
 
     def body(chunk, _):
         slot = chunk % _N_BUF
-
-        @pl.when(chunk + _N_BUF < num_chunks)
-        def _():
-            d0, d1 = make_dma((chunk + _N_BUF) % _N_BUF, chunk + _N_BUF)
-            d0.start()
-            d1.start()
-
         d0, d1 = make_dma(slot, chunk)
         d0.wait()
         d1.wait()
@@ -163,6 +156,14 @@ def _kernel(
                 precision=precision,
             ).astype(out_ref.dtype)
         out_ref[:] += acc
+
+        # Refill this slot AFTER its data is consumed (a pre-consumption
+        # start would race: chunk c+N_BUF shares slot c % N_BUF).
+        @pl.when(chunk + _N_BUF < num_chunks)
+        def _():
+            d0, d1 = make_dma(slot, chunk + _N_BUF)
+            d0.start()
+            d1.start()
         return ()
 
     jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)

@@ -28,6 +28,7 @@ def make_case(rng, e, r, f, e_pad=None):
     (5000, 1000, 128),
     (333, 700, 256),     # more receivers than edges (many empty segments)
     (4096, 256, 128),    # exactly one tile of receivers
+    (20000, 300, 128),   # > N_BUF chunks per tile (deep-pipeline slot reuse)
 ])
 def test_parity_vs_xla(rng, e, r, f):
     m, r1 = make_case(rng, e, r, f)
