@@ -70,10 +70,10 @@ class Graph:
     neigh_senders: Optional[jnp.ndarray] = None
     neigh_edge: Optional[jnp.ndarray] = None
     neigh_mask: Optional[jnp.ndarray] = None
-    # Pallas segment-sum tiling (receiver-tile edge ranges); None disables
-    # the kernel path for this graph.
-    seg_starts: Optional[jnp.ndarray] = None
-    seg_ends: Optional[jnp.ndarray] = None
+    # Pallas segment-sum chunk schedule (TE-aligned edge base + owning
+    # receiver tile of each chunk); None disables the kernel path.
+    seg_chunk_base: Optional[jnp.ndarray] = None
+    seg_chunk_tile: Optional[jnp.ndarray] = None
     # Fast-adjoint gather aux (sender-sorted permutations for the backward).
     senders_aux: Optional[object] = None
     receivers_aux: Optional[object] = None
@@ -137,12 +137,12 @@ def build_graph(
         attr_full = np.zeros((e_pad, attr_sorted.shape[1]), dtype=np.float32)
         attr_full[:e] = attr_sorted
 
-    # Pallas segment-sum tiling (receiver-tile edge ranges over the padded,
-    # receiver-sorted layout; padding rows sit in the last tile's range and
-    # are neutralized by the pre-masked messages).
-    from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS, build_tile_offsets
+    # Pallas segment-sum chunk schedule (over the padded, receiver-sorted
+    # layout; padding rows sit in the last tile's range and are neutralized
+    # by the pre-masked messages).
+    from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS, build_schedule
 
-    seg_starts, seg_ends, _, _ = build_tile_offsets(
+    seg_chunk_base, seg_chunk_tile = build_schedule(
         r_full, num_receivers, DEFAULT_TILE_RECEIVERS
     )
 
@@ -182,8 +182,8 @@ def build_graph(
         neigh_senders=neigh_senders,
         neigh_edge=neigh_edge,
         neigh_mask=neigh_mask,
-        seg_starts=jnp.asarray(seg_starts),
-        seg_ends=jnp.asarray(seg_ends),
+        seg_chunk_base=jnp.asarray(seg_chunk_base),
+        seg_chunk_tile=jnp.asarray(seg_chunk_tile),
         senders_aux=senders_aux,
         receivers_aux=receivers_aux,
         num_nodes=int(num_nodes),

@@ -355,7 +355,7 @@ class InteractionNetLayer(nn.Module):
         )(x, edge_attr, graph)
 
         use_pallas = (
-            graph.seg_starts is not None
+            graph.seg_chunk_base is not None
             and edge_update.shape[-1] % 128 == 0
             and graph.num_edges >= 16384
             and seg_ops.use_pallas_segment_sum()

@@ -1,0 +1,205 @@
+"""Fused InteractionNet edge pipeline with a hand-written VJP.
+
+The training backward of the processor loop is dominated by the adjoints of
+its edge gathers: ``jnp.take(x, senders)`` differentiates to an UNSORTED
+XLA scatter-add (~35 GB/s effective on v5e), and wrapping the lone gather
+in a custom_vjp to reroute that scatter was measured a net LOSS because the
+call boundary blocks XLA fusion around a tiny op (see ``ops/gather.py``).
+
+This module fuses the WHOLE edge pipeline of one InteractionNet step —
+
+    h_pre = x@W1s [senders] + x@W1r [receivers] + e@W1e + b1
+    edge_update = act(h_pre) @ W2 + b2
+    agg = segment_mean(edge_update * mask, receivers)
+
+— into one custom-VJP unit.  The boundary now encloses all the large
+matmuls (nothing XLA could have fused across it anyway: the pipeline ends
+in a segment reduction), and the backward is written in closed form with
+every scatter routed through the Pallas sorted-segment kernel
+(``ops.pallas_segment``, one-hot MXU matmuls):
+
+    d_xr = scatter_by_receivers(d_h_pre)   — already receiver-sorted
+    d_xs = scatter_by_senders(d_h_pre)     — via the precomputed
+                                             sender-sort permutation
+    d_msgs from d_agg                      — gather (cheap, stays XLA)
+
+The forward aggregation reuses the same kernel.  Everything else
+(d_W*, d_b*, d_e, activation derivative) is dense matmul/elementwise work
+XLA fuses well.
+
+Numerics match ``jax.grad`` of the unfused math exactly (same expressions,
+same aggregation kernel); parity-tested against autodiff in
+``tests/test_fused_edge.py``.
+
+Replaces the hot-path consumption of the reference's PyG scatter kernels
+(reference src/models.py:206-236) in the training backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_segment import segment_sum_sorted
+
+__all__ = ["edge_pipeline", "use_fused_edge"]
+
+
+def use_fused_edge() -> bool:
+    """Policy: on wherever the Pallas segment kernel is on (TPU backends by
+    default); override with GCLT_FUSED_EDGE=0/1."""
+    flag = os.environ.get("GCLT_FUSED_EDGE")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    from .segment import use_pallas_segment_sum
+
+    return use_pallas_segment_sum()
+
+
+class _Static(NamedTuple):
+    num_nodes: int
+    num_receivers: int
+    tile_receivers: int
+    activation: str
+    interpret: bool
+
+
+def _act_fn(name: str):
+    from ..models.nn import resolve_activation
+
+    fn = resolve_activation(name)
+    if fn is None:
+        raise ValueError(
+            f"fused edge pipeline requires a stateless activation, got {name}"
+        )
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _edge_pipeline(
+    static: _Static,
+    x,            # [N, D] node latents
+    e_attr,       # [E, De] edge latents
+    mask,         # [E] edge mask (padding + SparseGAT pruning)
+    w1s, w1r,     # [D, H] split first-layer kernels (sender / receiver)
+    w1e,          # [De, H]
+    b1,           # [H]
+    w2,           # [H, De]
+    b2,           # [De]
+    senders,      # [E] int32
+    receivers,    # [E] int32, sorted ascending
+    r_chunk_base, r_chunk_tile,   # Pallas schedule over receivers
+    s_perm,       # [E] int32 argsort(senders)
+    s_sorted,     # [E] int32 senders[perm]
+    s_chunk_base, s_chunk_tile,   # Pallas schedule over s_sorted
+):
+    out, _ = _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
+                  senders, receivers, r_chunk_base, r_chunk_tile,
+                  s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+    return out
+
+
+def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
+         senders, receivers, r_chunk_base, r_chunk_tile,
+         s_perm, s_sorted, s_chunk_base, s_chunk_tile):
+    act = _act_fn(static.activation)
+    xs = x @ w1s
+    xr = x @ w1r
+    h_pre = (
+        jnp.take(xs, senders, axis=0)
+        + jnp.take(xr, receivers, axis=0)
+        + e_attr @ w1e
+        + b1
+    )
+    edge_update = act(h_pre) @ w2 + b2
+    agg_sum = segment_sum_sorted(
+        edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
+        static.num_receivers, static.tile_receivers, static.interpret,
+    )
+    deg = jax.ops.segment_sum(
+        mask, receivers, num_segments=static.num_receivers,
+        indices_are_sorted=True,
+    )
+    agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
+    res = (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
+           h_pre, deg, senders, receivers, r_chunk_base, r_chunk_tile,
+           s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+    return (edge_update, agg), res
+
+
+def _bwd(static, res, cot):
+    (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
+     h_pre, deg, senders, receivers, r_chunk_base, r_chunk_tile,
+     s_perm, s_sorted, s_chunk_base, s_chunk_tile) = res
+    d_eu, d_agg = cot
+    act = _act_fn(static.activation)
+
+    inv = 1.0 / jnp.maximum(deg, 1.0)
+    d_sum = d_agg * inv[:, None]                          # [R, De]
+    d_eu_tot = d_eu + mask[:, None] * jnp.take(d_sum, receivers, axis=0)
+
+    h, act_vjp = jax.vjp(act, h_pre)
+    d_w2 = h.T @ d_eu_tot
+    d_b2 = d_eu_tot.sum(axis=0)
+    (d_hp,) = act_vjp(d_eu_tot @ w2.T)                    # [E, H]
+
+    d_b1 = d_hp.sum(axis=0)
+    d_e = d_hp @ w1e.T
+    d_w1e = e_attr.T @ d_hp
+
+    # The two node-space scatters — the ops this module exists for.
+    d_xr = segment_sum_sorted(
+        d_hp, receivers, r_chunk_base, r_chunk_tile,
+        static.num_receivers, static.tile_receivers, static.interpret,
+    )
+    d_xs = segment_sum_sorted(
+        jnp.take(d_hp, s_perm, axis=0), s_sorted, s_chunk_base, s_chunk_tile,
+        static.num_nodes, static.tile_receivers, static.interpret,
+    )
+    d_x = d_xs @ w1s.T + d_xr @ w1r.T
+    d_w1s = x.T @ d_xs
+    d_w1r = x.T @ d_xr
+
+    def int_zero(a):
+        import numpy as np
+
+        return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    return (d_x, d_e, jnp.zeros_like(mask),
+            d_w1s, d_w1r, d_w1e, d_b1, d_w2, d_b2,
+            int_zero(senders), int_zero(receivers),
+            int_zero(r_chunk_base), int_zero(r_chunk_tile),
+            int_zero(s_perm), int_zero(s_sorted),
+            int_zero(s_chunk_base), int_zero(s_chunk_tile))
+
+
+_edge_pipeline.defvjp(_fwd, _bwd)
+
+
+def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
+                  activation: str):
+    """(edge_update [E, De], agg_mean [R, De]) for one InteractionNet step.
+
+    Requires a unified-node-space graph carrying the Pallas chunk schedule
+    and the sender sort-aux (``graphs.structure.build_graph`` provides
+    both).  Callers gate on :func:`use_fused_edge` plus the usual kernel
+    conditions (feature dims % 128, edge count, num_receivers == num_nodes).
+    """
+    aux = graph.senders_aux
+    static = _Static(
+        num_nodes=graph.num_nodes,
+        num_receivers=graph.num_receivers,
+        tile_receivers=graph.seg_tile_receivers,
+        activation=activation,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return _edge_pipeline(
+        static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
+        graph.senders, graph.receivers,
+        graph.seg_chunk_base, graph.seg_chunk_tile,
+        aux.perm, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
+    )

@@ -35,8 +35,8 @@ class GatherAux:
     idx: jnp.ndarray            # [E_pad] the gather indices
     perm: jnp.ndarray           # [E_pad] argsort(idx) (stable)
     idx_sorted: jnp.ndarray     # [E_pad] = idx[perm]
-    tile_starts: jnp.ndarray    # pallas tiling over idx_sorted
-    tile_ends: jnp.ndarray
+    chunk_base: jnp.ndarray     # pallas chunk schedule over idx_sorted
+    chunk_tile: jnp.ndarray
     num_targets: int = struct.field(pytree_node=False, default=0)
     tile_receivers: int = struct.field(pytree_node=False, default=0)
 
@@ -44,20 +44,18 @@ class GatherAux:
 def build_gather_aux(
     idx: np.ndarray, num_targets: int, tile_receivers: int = 256
 ) -> GatherAux:
-    from .pallas_segment import build_tile_offsets
+    from .pallas_segment import build_schedule
 
     idx = np.asarray(idx, np.int32)
     perm = np.argsort(idx, kind="stable").astype(np.int32)
     idx_sorted = idx[perm]
-    starts, ends, _, _ = build_tile_offsets(
-        idx_sorted, num_targets, tile_receivers
-    )
+    base, tile = build_schedule(idx_sorted, num_targets, tile_receivers)
     return GatherAux(
         idx=jnp.asarray(idx),
         perm=jnp.asarray(perm),
         idx_sorted=jnp.asarray(idx_sorted),
-        tile_starts=jnp.asarray(starts),
-        tile_ends=jnp.asarray(ends),
+        chunk_base=jnp.asarray(base),
+        chunk_tile=jnp.asarray(tile),
         num_targets=int(num_targets),
         tile_receivers=tile_receivers,
     )
@@ -78,7 +76,7 @@ def _gather_bwd(res, g):
 
     g_sorted = jnp.take(g, aux.perm, axis=0)
     dx = segment_sum_sorted(
-        g_sorted, aux.idx_sorted, aux.tile_starts, aux.tile_ends,
+        g_sorted, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
         aux.num_targets, aux.tile_receivers,
         interpret=jax.default_backend() == "cpu",
     )

@@ -1,31 +1,41 @@
 """Pallas TPU kernel: sorted-COO segment sum (the message-passing scatter).
 
-XLA lowers ``segment_sum`` to a serialized scatter-add (~35 GB/s effective on
-v5e for the multimesh workload).  This kernel reformulates the scatter as
+XLA lowers ``segment_sum`` to a serialized scatter-add (~35-70 GB/s effective
+on v5e for the multimesh workload).  This kernel reformulates the scatter as
 dense MXU work:
 
 * edges are pre-sorted by receiver (the framework's canonical layout), so a
   tile of TR consecutive receivers owns one contiguous edge range;
-* the kernel streams that range in chunks of TE=1024 edges (coalesced,
-  double-buffered DMA from HBM into VMEM) and accumulates each 128-edge lane
-  group with a ONE-HOT MATMUL:
+* that range is cut into chunks of TE edges; each chunk is accumulated into
+  its receiver tile with ONE one-hot matmul:
 
-      acc[TR, F] += OneHot[TR, 128] @ chunk_group[128, F],
+      out[TR, F] += OneHot[TR, TE] @ chunk[TE, F],
       OneHot[t, j] = (receiver[j] - r0 == t)
 
-  turning the scatter into systolic-array contractions — no serialization,
-  no random writes; the only memory traffic left is the streaming edge read.
+  turning the scatter into a single K=TE systolic-array contraction per
+  chunk — no serialization, no random writes; the only memory traffic left
+  is the streaming edge read.
 
-Alignment: DMA bases must respect Mosaic memref tiling, so per-tile starts
-are rounded down to a 1024-edge boundary on the host (TE is 1024 for the
-same reason) and receiver ids are stored as [E/128, 128] so their slices are
-(8, 128)-tile aligned.  Over-read rows belong to neighboring receiver tiles
-and are excluded by the one-hot's receiver-range test
-(0 <= receiver - r0 < TR), which also subsumes any edge-count check.
-Padded edges must carry zero messages (the framework's ``aggregate_sum``
-pre-multiplies by the edge mask).
+Pipelining: the grid is the FLAT CHUNK LIST (host-precomputed arrays
+``chunk_base``/``chunk_tile`` ride in as scalar prefetch), not the tile
+list.  Each grid step waits on a chunk DMA issued ``N_BUF`` steps earlier,
+does its matmul, and refills the slot — so the DMA pipeline never drains,
+even across tile boundaries (the out block revisits the same tile for
+consecutive chunks and is flushed by Pallas when ``chunk_tile`` changes,
+the standard reduction-grid pattern).  Empty tiles get one dummy chunk
+pointing at the all-(-1) extension rows so their out block is still
+zero-initialized.
 
-Host-side preparation (`build_tile_offsets`) runs once per static graph.
+Alignment: DMA bases must respect Mosaic memref tiling, so chunk bases are
+TE-aligned (per-tile starts rounded down on the host: over-read rows belong
+to neighboring receiver tiles and are excluded by the one-hot's
+receiver-range test 0 <= receiver - r0 < TR, which also subsumes any
+edge-count check).  Receiver ids are stored as [n_chunks, 1, TE] so a
+chunk's ids arrive as one contiguous row indexed on the (untiled) leading
+axis.  Padded edges must carry zero messages (the framework's
+``aggregate_sum`` pre-multiplies by the edge mask).
+
+Host-side preparation (`build_chunk_schedule`) runs once per static graph.
 Parity oracle: ``jax.ops.segment_sum`` — tested in interpret mode on CPU
 and compiled on TPU.
 """
@@ -43,15 +53,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "build_tile_offsets",
+    "build_schedule",
+    "build_chunk_schedule",
     "segment_sum_sorted",
     "DEFAULT_TILE_RECEIVERS",
     "TILE_EDGES",
 ]
 
 DEFAULT_TILE_RECEIVERS = 256
-TILE_EDGES = 1024   # DMA chunk; also the base alignment (int32 (8,128) tiles)
-_LANES = 128
-_N_BUF = 4   # in-flight DMA chunk buffers per tile
+TILE_EDGES = 1024  # DMA chunk length; also the chunk-base alignment
+_N_BUF = 8         # in-flight DMA chunk slots
 
 
 def build_tile_offsets(
@@ -81,28 +92,79 @@ def build_tile_offsets(
     )
 
 
+def build_schedule(
+    receivers_sorted: np.ndarray,
+    num_receivers: int,
+    tile_receivers: int = DEFAULT_TILE_RECEIVERS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-call host prep: (chunk_base, chunk_tile) for a receiver-sorted
+    (padded) id array, consistent with the extension the kernel applies."""
+    receivers_sorted = np.asarray(receivers_sorted)
+    e_pad = int(receivers_sorted.shape[0])
+    e_ext = ((e_pad + TILE_EDGES - 1) // TILE_EDGES) * TILE_EDGES + TILE_EDGES
+    starts, ends, _, _ = build_tile_offsets(
+        receivers_sorted, num_receivers, tile_receivers
+    )
+    return build_chunk_schedule(starts, ends, e_ext)
+
+
+def build_chunk_schedule(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    e_ext: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten per-tile edge ranges into the kernel's chunk list.
+
+    Args:
+      starts/ends: per-tile edge ranges from :func:`build_tile_offsets`.
+      e_ext: padded edge-array length (multiple of TILE_EDGES, with at least
+        one trailing all-padding chunk whose receiver ids are -1).
+
+    Returns (chunk_base [NC], chunk_tile [NC]) int32: TE-aligned edge base
+    and owning receiver tile of every chunk, in tile order.  Tiles with no
+    edges contribute one dummy chunk at the extension rows (receiver -1)
+    so their output block is written (zeros).
+    """
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    dummy = e_ext - TILE_EDGES
+    bases, tiles = [], []
+    for t in range(starts.shape[0]):
+        n = int(max(ends[t] - starts[t], 0))
+        nchunks = (n + TILE_EDGES - 1) // TILE_EDGES
+        if nchunks == 0:
+            bases.append(dummy)
+            tiles.append(t)
+            continue
+        for c in range(nchunks):
+            bases.append(int(starts[t]) + c * TILE_EDGES)
+            tiles.append(t)
+    return (
+        np.asarray(bases, np.int32),
+        np.asarray(tiles, np.int32),
+    )
+
+
 def _kernel(
-    starts_ref,      # scalar prefetch: [ntiles] int32 (TE-aligned)
-    ends_ref,        # scalar prefetch: [ntiles] int32 (exact)
+    base_ref,        # scalar prefetch: [NC] int32 chunk base (TE-aligned)
+    tile_ref,        # scalar prefetch: [NC] int32 owning receiver tile
     msgs_ref,        # HBM: [E_ext, F]
-    recv_ref,        # HBM: [E_ext // 128, 128] int32 (row-major edge ids)
-    out_ref,         # VMEM tile: [TR, F] float32
-    msg_scratch,     # VMEM: [2, TE, F]
-    recv_scratch,    # VMEM: [2, TE // 128, 128] int32
-    sems,            # DMA semaphores [2, 2]
+    recv_ref,        # HBM: [E_ext // TE, 1, TE] int32 (one row per chunk;
+                     # the leading chunk axis keeps slicing tile-aligned)
+    out_ref,         # VMEM tile: [TR, F] float32 (revisited per tile)
+    msg_scratch,     # VMEM: [N_BUF, TE, F]
+    recv_scratch,    # VMEM: [N_BUF, 1, TE] int32
+    sems,            # DMA semaphores [N_BUF, 2]
     *,
     tile_receivers: int,
 ):
     i = pl.program_id(0)
-    r0 = i * tile_receivers
-    start = pl.multiple_of(starts_ref[i], TILE_EDGES)
-    end = ends_ref[i]
+    nc = pl.num_programs(0)
     tr, te = tile_receivers, TILE_EDGES
-    groups = te // _LANES
-    num_chunks = pl.cdiv(end - start, te)
+    r0 = tile_ref[i] * tr
 
     def make_dma(slot, chunk_idx):
-        base = pl.multiple_of(start + chunk_idx * te, TILE_EDGES)
+        base = pl.multiple_of(base_ref[chunk_idx], TILE_EDGES)
         return (
             pltpu.make_async_copy(
                 msgs_ref.at[pl.ds(base, te), :],
@@ -110,63 +172,72 @@ def _kernel(
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                recv_ref.at[pl.ds(base // _LANES, groups), :],
+                recv_ref.at[base // te],
                 recv_scratch.at[slot],
                 sems.at[slot, 1],
             ),
         )
 
-    # Deep pipeline: issue up to N_BUF chunk DMAs at tile start so latency
-    # is hidden even on the first chunks (typical tiles have <= 4 chunks).
-    for c in range(_N_BUF):
-        @pl.when(c < num_chunks)
-        def _(c=c):
-            d0, d1 = make_dma(c % _N_BUF, c)
-            d0.start()
-            d1.start()
+    # Warmup: fill the pipeline once, at the first grid step.
+    @pl.when(i == 0)
+    def _():
+        for c in range(_N_BUF):
+            @pl.when(c < nc)
+            def _(c=c):
+                d0, d1 = make_dma(c, c)
+                d0.start()
+                d1.start()
 
-    out_ref[:] = jnp.zeros_like(out_ref)
+    slot = i % _N_BUF
+    d0, d1 = make_dma(slot, i)
+    d0.wait()
+    d1.wait()
 
-    def body(chunk, _):
-        slot = chunk % _N_BUF
-        d0, d1 = make_dma(slot, chunk)
-        d0.wait()
-        d1.wait()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
+    local = recv_scratch[slot, 0, :].reshape(1, te) - r0
+    onehot = jnp.where(rows == local, 1.0, 0.0).astype(jnp.bfloat16)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANES), 0)
-        acc = jnp.zeros_like(out_ref)
-        for g in range(groups):
-            local = recv_scratch[slot, g, :].reshape(1, _LANES) - r0
-            onehot = jnp.where(rows == local, 1.0, 0.0).astype(
-                msg_scratch.dtype
-            )
-            # HIGHEST precision keeps f32 messages exact on the MXU (the
-            # default rounds operands to bf16); Mosaic rejects the flag for
-            # bf16 operands, where default precision is already exact for a
-            # 0/1 one-hot lhs.
-            precision = (
-                jax.lax.Precision.HIGHEST
-                if msg_scratch.dtype == jnp.float32 else None
-            )
-            acc += jax.lax.dot_general(
-                onehot,
-                msg_scratch[slot, g * _LANES : (g + 1) * _LANES, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ).astype(out_ref.dtype)
+    def oh_dot(m):
+        # A 0/1 one-hot lhs is exact in bf16, so default (single-pass)
+        # precision copies message rows bit-exactly into the f32
+        # accumulators.
+        return jax.lax.dot_general(
+            onehot,
+            m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if msg_scratch.dtype == jnp.float32:
+        # f32 messages: two bf16 passes over a hi/lo split (~1.5e-5 relative
+        # accuracy) instead of the 6-pass HIGHEST f32 matmul — the one-hot
+        # contraction is MXU-bound, so this nearly halves kernel time.
+        chunk = msg_scratch[slot]
+        hi = chunk.astype(jnp.bfloat16)
+        lo = (chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = (oh_dot(hi) + oh_dot(lo)).astype(out_ref.dtype)
+    else:
+        acc = oh_dot(msg_scratch[slot]).astype(out_ref.dtype)
+
+    # First chunk of a tile initializes its out block (Pallas does not
+    # zero revisited blocks); later chunks accumulate.
+    is_first = jnp.logical_or(i == 0, tile_ref[jnp.maximum(i - 1, 0)] != tile_ref[i])
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
         out_ref[:] += acc
 
-        # Refill this slot AFTER its data is consumed (a pre-consumption
-        # start would race: chunk c+N_BUF shares slot c % N_BUF).
-        @pl.when(chunk + _N_BUF < num_chunks)
-        def _():
-            d0, d1 = make_dma(slot, chunk + _N_BUF)
-            d0.start()
-            d1.start()
-        return ()
-
-    jax.lax.fori_loop(0, num_chunks, body, (), unroll=False)
+    # Refill this slot AFTER its data is consumed (a pre-consumption start
+    # would race: chunk i+N_BUF shares slot i % N_BUF).
+    @pl.when(i + _N_BUF < nc)
+    def _():
+        d0, d1 = make_dma(slot, i + _N_BUF)
+        d0.start()
+        d1.start()
 
 
 @functools.partial(
@@ -175,8 +246,8 @@ def _kernel(
 def segment_sum_sorted(
     msgs: jnp.ndarray,            # [E_pad, F], sorted by receiver, pre-masked
     recv1d: jnp.ndarray,          # [E_pad] int32, sorted
-    starts: jnp.ndarray,          # [ntiles] int32 (TE-aligned)
-    ends: jnp.ndarray,            # [ntiles] int32
+    chunk_base: jnp.ndarray,      # [NC] int32 (TE-aligned)
+    chunk_tile: jnp.ndarray,      # [NC] int32
     num_receivers: int,
     tile_receivers: int = DEFAULT_TILE_RECEIVERS,
     interpret: bool = False,
@@ -188,14 +259,14 @@ def segment_sum_sorted(
     of the cotangent by receiver id (padded edges read a valid row; their
     gradient dies in the caller's mask multiply).
     """
-    return _segment_sum_impl(msgs, recv1d, starts, ends, num_receivers,
-                             tile_receivers, interpret)
+    return _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
+                             num_receivers, tile_receivers, interpret)
 
 
-def _segment_sum_fwd(msgs, recv1d, starts, ends, num_receivers,
+def _segment_sum_fwd(msgs, recv1d, chunk_base, chunk_tile, num_receivers,
                      tile_receivers, interpret):
-    out = _segment_sum_impl(msgs, recv1d, starts, ends, num_receivers,
-                            tile_receivers, interpret)
+    out = _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
+                            num_receivers, tile_receivers, interpret)
     return out, (recv1d,)
 
 
@@ -215,8 +286,8 @@ segment_sum_sorted.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 def _segment_sum_impl(
     msgs: jnp.ndarray,
     recv1d: jnp.ndarray,
-    starts: jnp.ndarray,
-    ends: jnp.ndarray,
+    chunk_base: jnp.ndarray,
+    chunk_tile: jnp.ndarray,
     num_receivers: int,
     tile_receivers: int = DEFAULT_TILE_RECEIVERS,
     interpret: bool = False,
@@ -225,27 +296,30 @@ def _segment_sum_impl(
     tr, te = tile_receivers, TILE_EDGES
     ntiles = (num_receivers + tr - 1) // tr
     r_pad = ntiles * tr
+    nc = chunk_base.shape[0]
 
-    # Extend the edge arrays so any tile's final TE-chunk DMA stays in
-    # bounds; extension rows carry receiver id -1 (never matches a tile).
+    # Extend the edge arrays so any chunk DMA stays in bounds; extension
+    # rows carry receiver id -1 (never matches a tile).
     e_ext = ((e_pad + te - 1) // te) * te + te
     msgs_x = jnp.pad(msgs, ((0, e_ext - e_pad), (0, 0)))
     recv_x = jnp.pad(recv1d, (0, e_ext - e_pad), constant_values=-1)
-    recv2d = recv_x.reshape(e_ext // _LANES, _LANES)
+    recv2d = recv_x.reshape(e_ext // te, 1, te)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ntiles,),
+        grid=(nc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (tr, f), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (tr, f),
+            lambda i, base_ref, tile_ref: (tile_ref[i], 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((_N_BUF, te, f), msgs.dtype),
-            pltpu.VMEM((_N_BUF, te // _LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_N_BUF, 1, te), jnp.int32),
             pltpu.SemaphoreType.DMA((_N_BUF, 2)),
         ],
     )
@@ -255,10 +329,13 @@ def _segment_sum_impl(
         out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_ext * tr * f,
-            bytes_accessed=e_ext * f * msgs.dtype.itemsize + r_pad * f * 4,
+            flops=2 * nc * te * tr * f,
+            bytes_accessed=nc * te * f * msgs.dtype.itemsize + r_pad * f * 4,
             transcendentals=0,
         ),
-    )(starts, ends, msgs_x, recv2d)
+    )(chunk_base, chunk_tile, msgs_x, recv2d)
     return out[:num_receivers].astype(msgs.dtype)

@@ -84,7 +84,7 @@ def aggregate_sum(
     mask = graph.edge_mask if edge_mask is None else edge_mask
     masked = messages * mask[:, None]
     if (
-        graph.seg_starts is not None
+        graph.seg_chunk_base is not None
         and masked.ndim == 2
         and masked.shape[-1] % 128 == 0
         and graph.num_edges >= 16384  # kernel overhead beats XLA only at scale
@@ -95,8 +95,8 @@ def aggregate_sum(
         return segment_sum_sorted(
             masked,
             graph.receivers,
-            graph.seg_starts,
-            graph.seg_ends,
+            graph.seg_chunk_base,
+            graph.seg_chunk_tile,
             graph.num_receivers,
             graph.seg_tile_receivers,
         )

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from graphcast_lite_tpu.ops.pallas_segment import (
+    build_schedule,
     build_tile_offsets,
     segment_sum_sorted,
 )
@@ -32,10 +33,10 @@ def make_case(rng, e, r, f, e_pad=None):
 ])
 def test_parity_vs_xla(rng, e, r, f):
     m, r1 = make_case(rng, e, r, f)
-    starts, ends, ntiles, _ = build_tile_offsets(r1, r, 256)
+    base, tile = build_schedule(r1, r, 256)
     out = segment_sum_sorted(
-        jnp.asarray(m), jnp.asarray(r1), jnp.asarray(starts),
-        jnp.asarray(ends), r, 256, interpret=True,
+        jnp.asarray(m), jnp.asarray(r1), jnp.asarray(base),
+        jnp.asarray(tile), r, 256, interpret=True,
     )
     expect = jax.ops.segment_sum(jnp.asarray(m), jnp.asarray(r1),
                                  num_segments=r)
@@ -56,11 +57,12 @@ def test_skewed_degrees(rng):
     m[:e] = rng.randn(e, f)
     r1 = np.full((e_pad,), r - 1, np.int32)
     r1[:e] = recv
-    starts, ends, _, max_chunks = build_tile_offsets(r1, r, 256)
-    assert max_chunks >= 3
+    _, _, _, max_chunks = build_tile_offsets(r1, r, 256)
+    assert max_chunks >= 3   # crosses many chunk boundaries
+    base, tile = build_schedule(r1, r, 256)
     out = segment_sum_sorted(
-        jnp.asarray(m), jnp.asarray(r1), jnp.asarray(starts),
-        jnp.asarray(ends), r, 256, interpret=True,
+        jnp.asarray(m), jnp.asarray(r1), jnp.asarray(base),
+        jnp.asarray(tile), r, 256, interpret=True,
     )
     expect = jax.ops.segment_sum(jnp.asarray(m), jnp.asarray(r1),
                                  num_segments=r)
@@ -81,7 +83,7 @@ def test_aggregate_sum_pallas_flag_round_trip(rng, monkeypatch):
 
     monkeypatch.setenv("GCLT_PALLAS_SEGMENT", "0")
     off = np.asarray(seg.aggregate_sum(msgs, g))
-    assert g.seg_starts is not None  # tiling is built for every graph
+    assert g.seg_chunk_base is not None  # schedule built for every graph
     np.testing.assert_allclose(
         off,
         np.asarray(jax.ops.segment_sum(
