@@ -34,6 +34,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..graphs.structure import Graph
@@ -326,6 +327,86 @@ class _SplitEdgeMLP(nn.Module):
         return TorchLinear(self.out, name="lin_1")(h)
 
 
+class _TorchLinearParams(nn.Module):
+    """Declares TorchLinear's params (identical init EXPRESSION, hence
+    bit-identical draws) without applying them — for callers that restructure
+    the matmul."""
+
+    in_features: int
+    out_features: int
+
+    def setup(self):
+        from .nn import torch_linear_init
+
+        bound = 1.0 / np.sqrt(self.in_features) if self.in_features else 0.0
+        self.kernel = self.param(
+            "kernel", torch_linear_init(), (self.in_features, self.out_features)
+        )
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return nn.initializers.uniform(scale=2 * bound)(
+                key, shape, dtype
+            ) - bound
+
+        self.bias = self.param("bias", bias_init, (self.out_features,))
+
+    def __call__(self, x):  # pragma: no cover - not used directly
+        return x @ self.kernel + self.bias
+
+
+class _FusedEdgeMLP(nn.Module):
+    """Same parameters/namespace as ``_SplitEdgeMLP`` (lin_0 / lin_1 under
+    "edge_mlp"), but the whole edge pipeline INCLUDING the mean aggregation
+    runs through ``ops.fused_edge.edge_pipeline`` — one custom-VJP unit whose
+    backward routes every scatter through the Pallas segment kernel.
+    Returns (edge_update, agg_mean)."""
+
+    node_dim: int
+    edge_dim: int
+    hidden: int
+    out: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, edge_attr, graph: Graph, mask):
+        from ..ops.fused_edge import edge_pipeline
+
+        d, de = self.node_dim, self.edge_dim
+        lin_0 = _ParamLinear(2 * d + de, self.hidden, name="lin_0")
+        lin_1 = _TorchLinearParams(self.hidden, self.out, name="lin_1")
+        k = lin_0.kernel
+        return edge_pipeline(
+            x, edge_attr, mask,
+            k[:d], k[d : 2 * d], k[2 * d :], lin_0.bias,
+            lin_1.kernel, lin_1.bias,
+            graph, activation=self.activation,
+        )
+
+
+def _use_fused_edge_path(graph: Graph, hidden_dim: int, edge_dim: int,
+                         activation: str) -> bool:
+    # Edge-count threshold: measured on v5e at hidden=edge=256, the fused
+    # unit is a net LOSS at 65K edges (+10%/epoch, the custom_vjp boundary
+    # overhead dominates) and a net WIN at 287K (-4.6% train-step time).
+    from ..models.nn import resolve_activation
+    from ..ops.fused_edge import use_fused_edge
+
+    try:
+        stateless = resolve_activation(activation) is not None
+    except ValueError:
+        stateless = False
+    return (
+        stateless
+        and graph.seg_chunk_base is not None
+        and graph.senders_aux is not None
+        and graph.num_receivers == graph.num_nodes
+        and graph.num_edges >= 131072
+        and hidden_dim % 128 == 0
+        and edge_dim % 128 == 0
+        and use_fused_edge()
+    )
+
+
 class InteractionNetLayer(nn.Module):
     """One GraphCast-style interaction step (reference src/models.py:166-236).
 
@@ -348,28 +429,36 @@ class InteractionNetLayer(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mask = _edge_mask(graph, edge_mask)
-        edge_update = _SplitEdgeMLP(
-            node_dim=self.node_dim, edge_dim=self.edge_dim,
-            hidden=self.hidden_dim, out=self.edge_dim,
-            activation=self.activation, name="edge_mlp",
-        )(x, edge_attr, graph)
-
-        use_pallas = (
-            graph.seg_chunk_base is not None
-            and edge_update.shape[-1] % 128 == 0
-            and graph.num_edges >= 16384
-            and seg_ops.use_pallas_segment_sum()
-        )
-        if graph.has_ell and not use_pallas:
-            emask = ell_ops.ell_mask(graph, mask)
-            r, k = graph.neigh_edge.shape
-            upd = jnp.take(
-                edge_update, graph.neigh_edge.reshape(-1), axis=0
-            ).reshape(r, k, self.edge_dim)
-            agg = jnp.einsum("rkf,rk->rf", upd, emask)
-            agg = agg / jnp.maximum(emask.sum(axis=1), 1.0)[:, None]
+        if _use_fused_edge_path(graph, self.hidden_dim, self.edge_dim,
+                                self.activation):
+            edge_update, agg = _FusedEdgeMLP(
+                node_dim=self.node_dim, edge_dim=self.edge_dim,
+                hidden=self.hidden_dim, out=self.edge_dim,
+                activation=self.activation, name="edge_mlp",
+            )(x, edge_attr, graph, mask)
         else:
-            agg = seg_ops.aggregate_mean(edge_update, graph, mask)
+            edge_update = _SplitEdgeMLP(
+                node_dim=self.node_dim, edge_dim=self.edge_dim,
+                hidden=self.hidden_dim, out=self.edge_dim,
+                activation=self.activation, name="edge_mlp",
+            )(x, edge_attr, graph)
+
+            use_pallas = (
+                graph.seg_chunk_base is not None
+                and edge_update.shape[-1] % 128 == 0
+                and graph.num_edges >= 16384
+                and seg_ops.use_pallas_segment_sum()
+            )
+            if graph.has_ell and not use_pallas:
+                emask = ell_ops.ell_mask(graph, mask)
+                r, k = graph.neigh_edge.shape
+                upd = jnp.take(
+                    edge_update, graph.neigh_edge.reshape(-1), axis=0
+                ).reshape(r, k, self.edge_dim)
+                agg = jnp.einsum("rkf,rk->rf", upd, emask)
+                agg = agg / jnp.maximum(emask.sum(axis=1), 1.0)[:, None]
+            else:
+                agg = seg_ops.aggregate_mean(edge_update, graph, mask)
 
         node_in = jnp.concatenate([x, agg], axis=-1)
         node_update = _TwoLayerMLP(
