@@ -29,8 +29,9 @@ import numpy as np
 
 from .structure import Graph
 
-__all__ = ["ShardedGraph", "partition_nodes_by_latitude", "shard_graph",
-           "scatter_nodes", "gather_nodes"]
+__all__ = ["ShardedGraph", "BandedHalos", "partition_nodes_by_latitude",
+           "shard_graph", "build_banded_halos", "scatter_nodes",
+           "gather_nodes"]
 
 
 @dataclasses.dataclass
@@ -125,6 +126,111 @@ def shard_graph(
         nodes_per_shard=n_s,
         num_nodes=n,
     )
+
+
+@dataclasses.dataclass
+class BandedHalos:
+    """Banded-neighbor halo plan: replaces the full per-step ``all_gather``.
+
+    Edges are classified by the latitude-band distance between the sender's
+    owner ``o`` and the receiver's owner ``s``:
+
+      * ``o == s``      — local, no communication;
+      * ``|o − s| == 1`` — *neighbor*: the owner ships only the boundary-slab
+        rows the adjacent band actually references (one ``ppermute`` per
+        direction per step);
+      * ``|o − s| ≥ 2`` — *far* (the multimesh's coarse levels): the union of
+        such sender rows per owner is small (≈ the coarse-level vertex set),
+        so those rows are replicated via one compact ``all_gather``.
+
+    ``senders_ext`` re-indexes every edge's sender into the per-shard
+    extended table ``[local N_s | slab-from-below H | slab-from-above H |
+    hub S·Hh]``, so the SPMD step is a single static-shape gather.
+    """
+
+    send_up: np.ndarray      # [S, H] local slots shard s ships to s+1
+    send_down: np.ndarray    # [S, H] local slots shard s ships to s-1
+    hub_idx: np.ndarray      # [S, Hh] local slots replicated to all shards
+    senders_ext: np.ndarray  # [S, E_s] edge sender ids into the ext table
+    slab_size: int           # H
+    hub_size: int            # Hh
+
+    def rows_exchanged_per_step(self, sg: "ShardedGraph") -> dict:
+        """Comm-volume accounting (rows shipped per MP step, whole mesh)."""
+        s = sg.num_shards
+        return {
+            "all_gather_baseline": s * (s - 1) * sg.nodes_per_shard,
+            "banded": 2 * (s - 1) * self.slab_size
+            + s * (s - 1) * self.hub_size,
+        }
+
+
+def _pad_pow(n: int, multiple: int = 8) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def build_banded_halos(sg: ShardedGraph) -> BandedHalos:
+    """Derive the banded halo plan from a receiver-sharded graph."""
+    s_n, n_s = sg.num_shards, sg.nodes_per_shard
+    owner = sg.senders_global // n_s          # [S, E]
+    local = sg.senders_global % n_s
+    live = sg.edge_mask > 0
+
+    # Per-consumer needed-row sets, split by band distance.
+    from_down = [np.empty(0, np.int64) for _ in range(s_n)]  # owner s-1
+    from_up = [np.empty(0, np.int64) for _ in range(s_n)]    # owner s+1
+    far_need = [[] for _ in range(s_n)]  # far rows needed FROM owner o
+    for s in range(s_n):
+        o, l = owner[s][live[s]], local[s][live[s]]
+        if s - 1 >= 0:
+            from_down[s] = np.unique(l[o == s - 1])
+        if s + 1 < s_n:
+            from_up[s] = np.unique(l[o == s + 1])
+        far = np.abs(o - s) >= 2
+        for oo in np.unique(o[far]):
+            far_need[oo].append(np.unique(l[far][o[far] == oo]))
+
+    send_up_sets = [from_down[s + 1] if s + 1 < s_n else np.empty(0, np.int64)
+                    for s in range(s_n)]
+    send_down_sets = [from_up[s - 1] if s - 1 >= 0 else np.empty(0, np.int64)
+                      for s in range(s_n)]
+    hub_sets = [np.unique(np.concatenate(f)) if f else np.empty(0, np.int64)
+                for f in far_need]
+
+    h = _pad_pow(max(max((len(x) for x in send_up_sets), default=0),
+                     max((len(x) for x in send_down_sets), default=0)))
+    hh = _pad_pow(max((len(x) for x in hub_sets), default=0))
+
+    send_up = np.zeros((s_n, h), np.int32)
+    send_down = np.zeros((s_n, h), np.int32)
+    hub_idx = np.zeros((s_n, hh), np.int32)
+    for s in range(s_n):
+        send_up[s, : len(send_up_sets[s])] = send_up_sets[s]
+        send_down[s, : len(send_down_sets[s])] = send_down_sets[s]
+        hub_idx[s, : len(hub_sets[s])] = hub_sets[s]
+
+    # Remap edge senders into the extended local table.
+    senders_ext = np.zeros((s_n,) + sg.senders_global.shape[1:], np.int32)
+    for s in range(s_n):
+        o, l, m = owner[s], local[s], live[s]
+        ext = np.zeros(o.shape, np.int64)
+        is_loc = (o == s) & m
+        ext[is_loc] = l[is_loc]
+        if s - 1 >= 0:
+            nb = (o == s - 1) & m
+            ext[nb] = n_s + np.searchsorted(send_up_sets[s - 1], l[nb])
+        if s + 1 < s_n:
+            nb = (o == s + 1) & m
+            ext[nb] = n_s + h + np.searchsorted(send_down_sets[s + 1], l[nb])
+        far = (np.abs(o - s) >= 2) & m
+        if far.any():
+            for oo in np.unique(o[far]):
+                sel = far & (o == oo)
+                ext[sel] = (n_s + 2 * h + oo * hh
+                            + np.searchsorted(hub_sets[oo], l[sel]))
+        senders_ext[s] = ext
+    return BandedHalos(send_up=send_up, send_down=send_down, hub_idx=hub_idx,
+                       senders_ext=senders_ext, slab_size=h, hub_size=hh)
 
 
 def scatter_nodes(sg: ShardedGraph, x: np.ndarray) -> np.ndarray:

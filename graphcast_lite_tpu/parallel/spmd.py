@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..graphs.partition import ShardedGraph
+from ..graphs.partition import BandedHalos, ShardedGraph
 
 __all__ = ["sharded_interaction_processor", "make_space_mesh"]
 
@@ -73,11 +73,25 @@ def sharded_interaction_processor(
     sgraph: ShardedGraph,
     mesh: Mesh,
     use_layer_norm: bool = True,
+    halos: Optional[BandedHalos] = None,
 ) -> jnp.ndarray:
     """Run the full N-step InteractionNet processor SPMD over `mesh`.
 
+    ``halos=None`` uses gather-by-owner (one full ``all_gather`` of node
+    projections per step — correct for arbitrary edge spans).  Passing a
+    ``BandedHalos`` plan switches to the banded exchange: sender projections
+    are computed LOCALLY (the all_gather path recomputes them S× on every
+    shard), then only the boundary slabs cross to the ±1 latitude bands via
+    two ``ppermute``s and the small far-sender hub set (≈ the coarse-level
+    mesh vertices) is replicated with one compact ``all_gather`` — ~10×
+    less ICI traffic per message-passing step at [4,6]/8 shards.
+
     Returns processed node latents in the same sharded layout [S, N_s, D].
     """
+    if halos is not None:
+        return _banded_interaction_processor(
+            params, x_sharded, sgraph, mesh, halos, use_layer_norm
+        )
     p = params["params"] if "params" in params else params
     enc = p["edge_encoder_lin"]
     steps = p["steps"]["layer"]
@@ -161,4 +175,114 @@ def sharded_interaction_processor(
     del node_mask  # padded node rows are inert by construction
     return run(
         (enc, steps), x_sharded, senders, receivers, edge_mask, edge_attr,
+    )
+
+
+def _banded_interaction_processor(
+    params,
+    x_sharded: jnp.ndarray,
+    sgraph: ShardedGraph,
+    mesh: Mesh,
+    halos: BandedHalos,
+    use_layer_norm: bool = True,
+) -> jnp.ndarray:
+    """Banded-halo SPMD processor (see ``sharded_interaction_processor``)."""
+    p = params["params"] if "params" in params else params
+    enc = p["edge_encoder_lin"]
+    steps = p["steps"]["layer"]
+    n_s = sgraph.nodes_per_shard
+    d = x_sharded.shape[-1]
+    s_n = int(np.prod(mesh.devices.shape))
+
+    senders_ext = jnp.asarray(halos.senders_ext)   # [S, E] -> ext table
+    receivers = jnp.asarray(sgraph.receivers_local)
+    edge_mask = jnp.asarray(sgraph.edge_mask)
+    edge_attr = jnp.asarray(sgraph.edge_attr)
+    send_up = jnp.asarray(halos.send_up)           # [S, H]
+    send_down = jnp.asarray(halos.send_down)       # [S, H]
+    hub_idx = jnp.asarray(halos.hub_idx)           # [S, Hh]
+
+    up_perm = [(i, i + 1) for i in range(s_n - 1)]
+    down_perm = [(i, i - 1) for i in range(1, s_n)]
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("space"), P("space"), P("space"), P("space"),
+                  P("space"), P("space"), P("space"), P("space")),
+        out_specs=P("space"),
+    )
+    def run(p_all, x, snd_ext, rcv, emask, eattr, s_up, s_dn, hub):
+        x = x[0]
+        snd_ext, rcv, emask, eattr = (
+            snd_ext[0], rcv[0], emask[0], eattr[0]
+        )
+        s_up, s_dn, hub = s_up[0], s_dn[0], hub[0]
+        enc_p, steps_p = p_all
+
+        e = _silu(eattr @ enc_p["kernel"] + enc_p["bias"])
+
+        def body(carry, step_p):
+            x, e = carry
+            k0 = step_p["edge_mlp"]["lin_0"]["kernel"]
+            b0 = step_p["edge_mlp"]["lin_0"]["bias"]
+            # Project locally FIRST; only projections travel.
+            xs = x @ k0[:d]                                   # [N_s, Dh]
+            xr = x @ k0[d : 2 * d]
+            ep = e @ k0[2 * d :]
+            # --- halo exchange on projections -----------------------------
+            from_down = jax.lax.ppermute(
+                jnp.take(xs, s_up, axis=0), "space", up_perm
+            )
+            from_up = jax.lax.ppermute(
+                jnp.take(xs, s_dn, axis=0), "space", down_perm
+            )
+            hub_all = jax.lax.all_gather(
+                jnp.take(xs, hub, axis=0), "space", tiled=True
+            )                                                  # [S*Hh, Dh]
+            xs_ext = jnp.concatenate([xs, from_down, from_up, hub_all], 0)
+            h = (
+                jnp.take(xs_ext, snd_ext, axis=0)
+                + jnp.take(xr, rcv, axis=0)
+                + ep + b0
+            )
+            h = _silu(h)
+            e_upd = h @ step_p["edge_mlp"]["lin_1"]["kernel"] + (
+                step_p["edge_mlp"]["lin_1"]["bias"]
+            )
+            msgs = e_upd * emask[:, None]
+            agg = jax.ops.segment_sum(msgs, rcv, num_segments=n_s)
+            deg = jax.ops.segment_sum(emask, rcv, num_segments=n_s)
+            agg = agg / jnp.maximum(deg, 1.0)[:, None]
+            node_in = jnp.concatenate([x, agg], axis=-1)
+            h2 = _silu(
+                node_in @ step_p["node_mlp"]["lin_0"]["kernel"]
+                + step_p["node_mlp"]["lin_0"]["bias"]
+            )
+            n_upd = h2 @ step_p["node_mlp"]["lin_1"]["kernel"] + (
+                step_p["node_mlp"]["lin_1"]["bias"]
+            )
+            new_e = e + e_upd
+            new_x = x + n_upd
+            if use_layer_norm:
+                new_e = _masked_graph_ln(
+                    new_e, step_p["edge_norm"]["weight"],
+                    step_p["edge_norm"]["bias"], emask, "space",
+                )
+                new_x = _node_ln(
+                    new_x, step_p["node_norm"]["weight"],
+                    step_p["node_norm"]["bias"],
+                )
+            return (new_x, new_e), None
+
+        (x, e), _ = jax.lax.scan(body, (x, e), steps_p)
+        return x[None]
+
+    return run(
+        (enc, steps), x_sharded, senders_ext, receivers, edge_mask,
+        edge_attr, send_up, send_down, hub_idx,
     )
