@@ -388,6 +388,9 @@ def _use_fused_edge_path(graph: Graph, hidden_dim: int, edge_dim: int,
     # Edge-count threshold: measured on v5e at hidden=edge=256, the fused
     # unit is a net LOSS at 65K edges (+10%/epoch, the custom_vjp boundary
     # overhead dominates) and a net WIN at 287K (-4.6% train-step time).
+    # use_fused_edge() additionally restricts the path to TRAINING traces
+    # (rollout_loss sets the flag): in a forward-only rollout the boundary
+    # costs ~20% for nothing (571→684 ms at 512x256 AR-4 inference).
     from ..models.nn import resolve_activation
     from ..ops.fused_edge import use_fused_edge
 

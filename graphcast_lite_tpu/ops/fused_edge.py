@@ -37,6 +37,8 @@ Replaces the hot-path consumption of the reference's PyG scatter kernels
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 from typing import NamedTuple
@@ -46,18 +48,40 @@ import jax.numpy as jnp
 
 from .pallas_segment import segment_sum_sorted
 
-__all__ = ["edge_pipeline", "use_fused_edge"]
+__all__ = ["edge_pipeline", "use_fused_edge", "training_trace"]
+
+_TRAINING_TRACE = contextvars.ContextVar("gclt_training_trace", default=False)
+
+
+@contextlib.contextmanager
+def training_trace():
+    """Mark the dynamic extent of tracing a TRAINING computation.
+
+    The fused unit only pays off when the step is differentiated (its point
+    is rerouting the backward's scatter adjoints through the Pallas kernel);
+    in a forward-only program the custom_vjp boundary costs ~20% rollout
+    time for nothing (measured 571→684 ms on the 512x256 AR-4 inference
+    rollout, v5e).  ``training.rollout.rollout_loss`` — the one entry point
+    every gradient path goes through — sets this flag at trace time, so the
+    SAME model code picks the fused path under jit(grad(...)) and the plain
+    XLA path under jit(forward).
+    """
+    tok = _TRAINING_TRACE.set(True)
+    try:
+        yield
+    finally:
+        _TRAINING_TRACE.reset(tok)
 
 
 def use_fused_edge() -> bool:
-    """Policy: on wherever the Pallas segment kernel is on (TPU backends by
-    default); override with GCLT_FUSED_EDGE=0/1."""
+    """Policy: on inside a training trace wherever the Pallas segment kernel
+    is on (TPU backends by default); override with GCLT_FUSED_EDGE=0/1."""
     flag = os.environ.get("GCLT_FUSED_EDGE")
     if flag is not None:
         return flag not in ("0", "false", "off")
     from .segment import use_pallas_segment_sum
 
-    return use_pallas_segment_sum()
+    return _TRAINING_TRACE.get() and use_pallas_segment_sum()
 
 
 class _Static(NamedTuple):

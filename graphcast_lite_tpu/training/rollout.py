@@ -118,6 +118,8 @@ def rollout_loss(
     added per step (e.g. spectral/Sobel losses for the CNN stacks).
     Returns (loss, new_edge_mask).
     """
+    from ..ops.fused_edge import training_trace
+
     step_fn = _one_step
     if spec.remat:
         # prevent_cse must stay True (the default): the AR loop is a python
@@ -126,20 +128,24 @@ def rollout_loss(
         step_fn = jax.checkpoint(_one_step, static_argnums=(0, 4, 5))
 
     total = 0.0
-    for step in range(steps):
-        out, edge_mask = step_fn(
-            model_fn, window, edge_mask, attention_threshold, prune, spec
-        )
-        target = targets[..., step, :]
-        total = total + weighted_mse(
-            out, target, lat_weights, chan_mask, spatial_mask
-        )
-        if extra_loss_fn is not None:
-            total = total + extra_loss_fn(out, target)
-        out = carry_forward(out, window[..., -1, :], target, spec)
-        window = jnp.concatenate(
-            [window[..., 1:, :], out[..., None, :]], axis=-2
-        )
+    # training_trace: this is the entry point every gradient path traces
+    # through, so models pick their training-only kernels (the fused edge
+    # pipeline) here and their inference kernels under rollout_predict.
+    with training_trace():
+        for step in range(steps):
+            out, edge_mask = step_fn(
+                model_fn, window, edge_mask, attention_threshold, prune, spec
+            )
+            target = targets[..., step, :]
+            total = total + weighted_mse(
+                out, target, lat_weights, chan_mask, spatial_mask
+            )
+            if extra_loss_fn is not None:
+                total = total + extra_loss_fn(out, target)
+            out = carry_forward(out, window[..., -1, :], target, spec)
+            window = jnp.concatenate(
+                [window[..., 1:, :], out[..., None, :]], axis=-2
+            )
     return total / steps, edge_mask
 
 
