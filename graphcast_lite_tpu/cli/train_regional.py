@@ -171,7 +171,13 @@ def main(argv=None):
 
     @jax.jit
     def step(rp, os_, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(rp, x, y)
+        # training_trace: regional graphs rarely meet the fused-edge size
+        # gate, but the frozen GLOBAL forward inside loss_fn does at 512x256 —
+        # mark the trace so it picks its training kernels (ops/fused_edge.py).
+        from ..ops.fused_edge import training_trace
+
+        with training_trace():
+            loss, grads = jax.value_and_grad(loss_fn)(rp, x, y)
         updates, os_ = opt.update(grads, os_, rp)
         return optax.apply_updates(rp, updates), os_, loss
 

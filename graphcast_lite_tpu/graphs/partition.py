@@ -29,9 +29,52 @@ import numpy as np
 
 from .structure import Graph
 
-__all__ = ["ShardedGraph", "BandedHalos", "partition_nodes_by_latitude",
-           "shard_graph", "build_banded_halos", "scatter_nodes",
-           "gather_nodes"]
+__all__ = ["ShardedGraph", "BandedHalos", "NodePartition",
+           "partition_nodes_by_latitude", "build_node_partition",
+           "shard_graph", "shard_graph_bipartite", "build_banded_halos",
+           "scatter_nodes", "gather_nodes"]
+
+
+@dataclasses.dataclass
+class NodePartition:
+    """A padded S-way partition of one node space (host-side).
+
+    Layout: nodes grouped by shard into equal padded blocks; slot of node i
+    is ``perm[i]`` in the stacked ``[S * nodes_per_shard]`` space.
+    """
+
+    shard_of: np.ndarray      # [N] shard id per node
+    perm: np.ndarray          # [N] old id -> slot in padded stacked layout
+    inv_slots: np.ndarray     # [S, N_s] slot -> old id (-1 for padding)
+    node_mask: np.ndarray     # [S, N_s] 1 for real nodes
+    num_shards: int
+    nodes_per_shard: int
+    num_nodes: int
+
+    @property
+    def padded_num_nodes(self) -> int:
+        return self.num_shards * self.nodes_per_shard
+
+    @property
+    def slot_sources(self) -> np.ndarray:
+        """[S, N_s] gather indices into the original order (padding -> 0)."""
+        return np.where(self.inv_slots >= 0, self.inv_slots, 0)
+
+    def scatter(self, x: np.ndarray) -> np.ndarray:
+        """[..., N, F] -> sharded layout [..., S, N_s, F] (padding rows 0)."""
+        take = np.ascontiguousarray(
+            np.take(x, self.slot_sources.reshape(-1), axis=x.ndim - 2)
+        )
+        out = take.reshape(
+            x.shape[:-2] + (self.num_shards, self.nodes_per_shard, x.shape[-1])
+        )
+        return out * self.node_mask[..., :, :, None]
+
+    def gather(self, x_sharded: np.ndarray) -> np.ndarray:
+        """Sharded [..., S, N_s, F] -> original order [..., N, F]."""
+        x = np.asarray(x_sharded)
+        flat = x.reshape(x.shape[:-3] + (-1, x.shape[-1]))
+        return np.take(flat, self.perm, axis=flat.ndim - 2)
 
 
 @dataclasses.dataclass
@@ -43,17 +86,24 @@ class ShardedGraph:
     inv_slots: np.ndarray     # [S, N_s] slot -> old id (-1 for padding)
     node_mask: np.ndarray     # [S, N_s] 1 for real nodes
     # edges (receiver-sharded)
-    senders_global: np.ndarray   # [S, E_s] ids into the padded stacked layout
+    senders_global: np.ndarray   # [S, E_s] ids into the SENDER padded layout
     receivers_local: np.ndarray  # [S, E_s] ids into the shard's node block
     edge_mask: np.ndarray        # [S, E_s]
     edge_attr: Optional[np.ndarray]  # [S, E_s, F_e]
     num_shards: int
     nodes_per_shard: int
     num_nodes: int
+    # Bipartite graphs: sender node space differs from the receiver space.
+    # 0 means "same as nodes_per_shard" (unified graphs).
+    sender_nodes_per_shard: int = 0
 
     @property
     def padded_num_nodes(self) -> int:
         return self.num_shards * self.nodes_per_shard
+
+    @property
+    def sender_block(self) -> int:
+        return self.sender_nodes_per_shard or self.nodes_per_shard
 
 
 def partition_nodes_by_latitude(
@@ -68,22 +118,16 @@ def partition_nodes_by_latitude(
     return shard_of
 
 
-def shard_graph(
-    graph: Graph,
-    node_shard: np.ndarray,
-    num_shards: int,
-    pad_edges_multiple: int = 128,
-) -> ShardedGraph:
-    """Partition a (unified-node-space) Graph by receiver ownership."""
-    n = graph.num_nodes
-    senders = np.asarray(graph.senders)[: graph.num_edges]
-    receivers = np.asarray(graph.receivers)[: graph.num_edges]
-    attr = (np.asarray(graph.edge_attr)[: graph.num_edges]
-            if graph.edge_attr is not None else None)
-
-    # Node layout: nodes grouped by shard, padded to the max block size.
+def build_node_partition(
+    node_shard: np.ndarray, num_shards: int,
+    pad_nodes_multiple: int = 8,
+) -> NodePartition:
+    """Padded block layout for a shard assignment (see NodePartition)."""
+    n = len(node_shard)
     nodes_of = [np.flatnonzero(node_shard == s) for s in range(num_shards)]
     n_s = max(len(x) for x in nodes_of)
+    n_s = ((n_s + pad_nodes_multiple - 1) // pad_nodes_multiple
+           ) * pad_nodes_multiple
     perm = np.full(n, -1, np.int64)
     inv = np.full((num_shards, n_s), -1, np.int64)
     node_mask = np.zeros((num_shards, n_s), np.float32)
@@ -92,13 +136,45 @@ def shard_graph(
         perm[ids] = slots
         inv[s, : len(ids)] = ids
         node_mask[s, : len(ids)] = 1.0
+    return NodePartition(
+        shard_of=np.asarray(node_shard, np.int32), perm=perm, inv_slots=inv,
+        node_mask=node_mask, num_shards=num_shards, nodes_per_shard=n_s,
+        num_nodes=n,
+    )
 
-    # Edge layout: receiver-owned, padded to the max shard edge count.
-    recv_shard = node_shard[receivers]
+
+def shard_graph_bipartite(
+    graph: Graph,
+    sender_part: NodePartition,
+    recv_part: NodePartition,
+    sender_offset: int = 0,
+    recv_offset: int = 0,
+    pad_edges_multiple: int = 128,
+) -> ShardedGraph:
+    """Partition edges by receiver ownership with distinct sender/receiver
+    node spaces (the bipartite G2M / M2G case).
+
+    ``sender_offset`` / ``recv_offset`` subtract the unified-node-space
+    offsets (grid 0..N-1, mesh N..N+M-1) so the two partitions index their
+    own local spaces.
+    """
+    senders = np.asarray(graph.senders)[: graph.num_edges] - sender_offset
+    receivers = np.asarray(graph.receivers)[: graph.num_edges] - recv_offset
+    attr = (np.asarray(graph.edge_attr)[: graph.num_edges]
+            if graph.edge_attr is not None else None)
+    assert senders.min() >= 0 and senders.max() < sender_part.num_nodes
+    assert receivers.min() >= 0 and receivers.max() < recv_part.num_nodes
+
+    num_shards = recv_part.num_shards
+    n_s = recv_part.nodes_per_shard
+    recv_shard = recv_part.shard_of[receivers]
     e_per = [np.flatnonzero(recv_shard == s) for s in range(num_shards)]
     e_max = max(len(x) for x in e_per)
-    e_max = ((e_max + pad_edges_multiple - 1) // pad_edges_multiple
-             ) * pad_edges_multiple
+    e_max = max(
+        ((e_max + pad_edges_multiple - 1) // pad_edges_multiple
+         ) * pad_edges_multiple,
+        pad_edges_multiple,
+    )
     sg = np.zeros((num_shards, e_max), np.int32)
     rl = np.zeros((num_shards, e_max), np.int32)
     em = np.zeros((num_shards, e_max), np.float32)
@@ -106,25 +182,37 @@ def shard_graph(
           if attr is not None else None)
     for s, idx in enumerate(e_per):
         k = len(idx)
-        sg[s, :k] = perm[senders[idx]]
-        rl[s, :k] = perm[receivers[idx]] - s * n_s
+        sg[s, :k] = sender_part.perm[senders[idx]]
+        rl[s, :k] = recv_part.perm[receivers[idx]] - s * n_s
         em[s, :k] = 1.0
         if ea is not None:
             ea[s, :k] = attr[idx]
-        # Padding receivers point at the last local row (keeps ids in range).
         rl[s, k:] = n_s - 1
-
     return ShardedGraph(
-        perm=perm,
-        inv_slots=inv,
-        node_mask=node_mask,
+        perm=recv_part.perm,
+        inv_slots=recv_part.inv_slots,
+        node_mask=recv_part.node_mask,
         senders_global=sg,
         receivers_local=rl,
         edge_mask=em,
         edge_attr=ea,
         num_shards=num_shards,
         nodes_per_shard=n_s,
-        num_nodes=n,
+        num_nodes=recv_part.num_nodes,
+        sender_nodes_per_shard=sender_part.nodes_per_shard,
+    )
+
+
+def shard_graph(
+    graph: Graph,
+    node_shard: np.ndarray,
+    num_shards: int,
+    pad_edges_multiple: int = 128,
+) -> ShardedGraph:
+    """Partition a (unified-node-space) Graph by receiver ownership."""
+    part = build_node_partition(node_shard, num_shards, pad_nodes_multiple=1)
+    return shard_graph_bipartite(
+        graph, part, part, pad_edges_multiple=pad_edges_multiple
     )
 
 
@@ -159,7 +247,7 @@ class BandedHalos:
         """Comm-volume accounting (rows shipped per MP step, whole mesh)."""
         s = sg.num_shards
         return {
-            "all_gather_baseline": s * (s - 1) * sg.nodes_per_shard,
+            "all_gather_baseline": s * (s - 1) * sg.sender_block,
             "banded": 2 * (s - 1) * self.slab_size
             + s * (s - 1) * self.hub_size,
         }
@@ -170,8 +258,14 @@ def _pad_pow(n: int, multiple: int = 8) -> int:
 
 
 def build_banded_halos(sg: ShardedGraph) -> BandedHalos:
-    """Derive the banded halo plan from a receiver-sharded graph."""
-    s_n, n_s = sg.num_shards, sg.nodes_per_shard
+    """Derive the banded halo plan from a receiver-sharded graph.
+
+    Works for unified graphs and for bipartite graphs with a distinct sender
+    space: owners/slots are computed in the SENDER partition's layout, so
+    slab/hub indices are local sender rows and ``senders_ext`` indexes the
+    per-shard extended sender table.
+    """
+    s_n, n_s = sg.num_shards, sg.sender_block
     owner = sg.senders_global // n_s          # [S, E]
     local = sg.senders_global % n_s
     live = sg.edge_mask > 0

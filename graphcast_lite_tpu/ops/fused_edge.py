@@ -61,10 +61,18 @@ def training_trace():
     is rerouting the backward's scatter adjoints through the Pallas kernel);
     in a forward-only program the custom_vjp boundary costs ~20% rollout
     time for nothing (measured 571→684 ms on the 512x256 AR-4 inference
-    rollout, v5e).  ``training.rollout.rollout_loss`` — the one entry point
-    every gradient path goes through — sets this flag at trace time, so the
-    SAME model code picks the fused path under jit(grad(...)) and the plain
-    XLA path under jit(forward).
+    rollout, v5e).  ``training.rollout.rollout_loss`` sets this flag at
+    trace time (the trainers' gradient paths go through it; standalone
+    trainers like cli/train_regional.py set it around their own
+    value_and_grad), so the SAME model code picks the fused path under
+    jit(grad(...)) and the plain XLA path under jit(forward).
+
+    Caveat (jit caching): this flag is read at TRACE time and is not part of
+    any jit cache key.  A user-jitted function traced once outside the flag
+    and reused inside it (or vice versa) keeps the kernel path of its first
+    trace — a perf-only effect (both paths are numerically equivalent).  The
+    framework's own entry points each jit separate callables for training
+    and inference, so they never alias.
     """
     tok = _TRAINING_TRACE.set(True)
     try:

@@ -1,0 +1,759 @@
+"""Full-model SPMD: encode-process-decode + AR rollout loss + gradients,
+all inside ONE ``jax.shard_map`` over a ``("data", "space")`` device mesh.
+
+This is the integrated multi-chip training path (the reference has zero
+distributed code — SURVEY §2.9; the design target is BASELINE.json's ≥80%
+scaling efficiency).  Strategy:
+
+* the grid and mesh node spaces are each partitioned into S latitude bands
+  (``graphs.partition``); every shard owns a band of grid nodes, a band of
+  mesh nodes, and the edges whose receivers it owns, for all THREE graphs
+  (G2M encoding, E_M processing, M2G decoding);
+* per graph, sender features cross shards either by gather-by-owner
+  (one ``all_gather``) or by the banded plan (two ``ppermute`` boundary
+  slabs + a compact hub ``all_gather`` for the multimesh's coarse levels);
+  the cheaper plan is chosen per graph from exact host-side row accounting
+  (``ShardingPlan.comm_stats``);
+* the batch axis is data-parallel over the "data" mesh axis (vmapped
+  locally inside the shard);
+* the loss is computed as local numerator/denominator + ``psum``; gradients
+  are ``jax.grad`` of the LOCAL numerator followed by one ``psum`` over both
+  mesh axes — exactly ∂(global loss)/∂θ because the weighted-MSE denominator
+  is parameter-free;
+* the whole thing consumes the SAME parameter pytree as
+  ``models.weather.WeatherModel`` — a model trained single-chip trains
+  sharded unchanged (parity tested on the 8-device CPU mesh,
+  tests/test_sharded_model.py).
+
+Supported layer types: ConvGCN encoder/decoder stacks (the flagship
+configuration, presets.interaction_net_*) with InteractionNet or ConvGCN
+processors.  GAT/SparseGAT/product-graph models fall back to the GSPMD
+auto-sharding path (``parallel.sharding``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DataConfig, GraphLayerType, PipelineConfig
+from ..graphs.build import GraphSet
+from ..graphs.partition import (
+    BandedHalos,
+    NodePartition,
+    ShardedGraph,
+    build_banded_halos,
+    build_node_partition,
+    partition_nodes_by_latitude,
+    shard_graph_bipartite,
+)
+from ..training.rollout import RolloutSpec, carry_forward
+
+__all__ = [
+    "ShardingPlan",
+    "PlanArrays",
+    "build_sharding_plan",
+    "plan_device_arrays",
+    "ShardedWeatherForward",
+    "make_sharded_forward",
+    "make_sharded_train_step",
+    "make_sharded_eval_step",
+]
+
+_AXIS = "space"
+
+
+# --------------------------------------------------------------------------
+# Host-side plan
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardingPlan:
+    """Host-side partition of the full model's node/edge spaces."""
+
+    num_shards: int
+    grid_part: NodePartition
+    mesh_part: NodePartition
+    enc: ShardedGraph
+    proc: ShardedGraph
+    dec: ShardedGraph
+    enc_halos: Optional[BandedHalos]
+    proc_halos: Optional[BandedHalos]
+    dec_halos: Optional[BandedHalos]
+    comm_stats: Dict[str, Dict[str, int]]
+
+    def scatter_grid(self, x: np.ndarray) -> np.ndarray:
+        """[..., G, F] -> [..., S, G_s, F]."""
+        return self.grid_part.scatter(x)
+
+    def gather_grid(self, x_sh) -> np.ndarray:
+        return self.grid_part.gather(np.asarray(x_sh))
+
+
+def build_sharding_plan(
+    gs: GraphSet,
+    num_shards: int,
+    halo_mode: str = "auto",
+    pad_edges_multiple: int = 128,
+) -> ShardingPlan:
+    """Partition grid+mesh into S latitude bands and shard all three graphs.
+
+    ``halo_mode``: "auto" picks gather vs banded per graph from the exact
+    rows-exchanged accounting; "banded" / "gather" force one plan everywhere.
+    """
+    grid_part = build_node_partition(
+        partition_nodes_by_latitude(gs.grid_lat, num_shards), num_shards
+    )
+    mesh_part = build_node_partition(
+        partition_nodes_by_latitude(gs.mesh_lat, num_shards), num_shards
+    )
+    n_grid = gs.num_grid_nodes
+
+    enc = shard_graph_bipartite(
+        gs.encoding, grid_part, mesh_part, 0, n_grid, pad_edges_multiple
+    )
+    proc = shard_graph_bipartite(
+        gs.processing, mesh_part, mesh_part, 0, 0, pad_edges_multiple
+    )
+    dec = shard_graph_bipartite(
+        gs.decoding, mesh_part, grid_part, n_grid, 0, pad_edges_multiple
+    )
+
+    halos = {}
+    stats = {}
+    for name, sg in (("enc", enc), ("proc", proc), ("dec", dec)):
+        h = build_banded_halos(sg)
+        acct = h.rows_exchanged_per_step(sg)
+        if halo_mode == "banded":
+            use = True
+        elif halo_mode == "gather":
+            use = False
+        else:  # auto: banded only when it moves strictly fewer rows
+            use = acct["banded"] < acct["all_gather_baseline"]
+        acct["chosen"] = "banded" if use else "gather"
+        halos[name] = h if use else None
+        stats[name] = acct
+
+    return ShardingPlan(
+        num_shards=num_shards,
+        grid_part=grid_part,
+        mesh_part=mesh_part,
+        enc=enc,
+        proc=proc,
+        dec=dec,
+        enc_halos=halos["enc"],
+        proc_halos=halos["proc"],
+        dec_halos=halos["dec"],
+        comm_stats=stats,
+    )
+
+
+# --------------------------------------------------------------------------
+# Device-side arrays (pytree shipped as a jit ARGUMENT — never a closure;
+# closure constants are fetched back through the axon tunnel at lowering)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class GraphArrays:
+    """One sharded graph's device arrays ([S, ...] leading shard axis)."""
+
+    senders: jnp.ndarray        # [S, E] ext-table ids (banded) | global slots
+    receivers: jnp.ndarray      # [S, E] local receiver row ids
+    edge_mask: jnp.ndarray      # [S, E]
+    edge_attr: Optional[jnp.ndarray] = None    # [S, E, F_e]
+    send_up: Optional[jnp.ndarray] = None      # [S, H]
+    send_down: Optional[jnp.ndarray] = None    # [S, H]
+    hub: Optional[jnp.ndarray] = None          # [S, Hh]
+    banded: bool = struct.field(pytree_node=False, default=False)
+    num_recv: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class PlanArrays:
+    """Everything static the sharded model needs, per shard."""
+
+    enc: GraphArrays
+    proc: GraphArrays
+    dec: GraphArrays
+    grid_static: jnp.ndarray   # [S, G_s, 6]
+    mesh_static: jnp.ndarray   # [S, M_s, 6]
+    grid_mask: jnp.ndarray     # [S, G_s] 1 for real grid rows
+    loss_weight: jnp.ndarray   # [S, G_s] node_mask × lat × spatial
+    num_shards: int = struct.field(pytree_node=False, default=1)
+
+
+def _graph_arrays(sg: ShardedGraph, halos: Optional[BandedHalos]) -> GraphArrays:
+    if halos is not None:
+        return GraphArrays(
+            senders=jnp.asarray(halos.senders_ext),
+            receivers=jnp.asarray(sg.receivers_local),
+            edge_mask=jnp.asarray(sg.edge_mask),
+            edge_attr=(jnp.asarray(sg.edge_attr)
+                       if sg.edge_attr is not None else None),
+            send_up=jnp.asarray(halos.send_up),
+            send_down=jnp.asarray(halos.send_down),
+            hub=jnp.asarray(halos.hub_idx),
+            banded=True,
+            num_recv=sg.nodes_per_shard,
+        )
+    return GraphArrays(
+        senders=jnp.asarray(sg.senders_global),
+        receivers=jnp.asarray(sg.receivers_local),
+        edge_mask=jnp.asarray(sg.edge_mask),
+        edge_attr=(jnp.asarray(sg.edge_attr)
+                   if sg.edge_attr is not None else None),
+        banded=False,
+        num_recv=sg.nodes_per_shard,
+    )
+
+
+def plan_device_arrays(
+    plan: ShardingPlan,
+    gs: GraphSet,
+    lat_weights: Optional[np.ndarray] = None,
+    spatial_mask: Optional[np.ndarray] = None,
+) -> PlanArrays:
+    """Assemble the PlanArrays pytree (host -> jnp)."""
+    w = plan.grid_part.node_mask.copy()
+    if lat_weights is not None:
+        w = w * plan.grid_part.scatter(
+            np.asarray(lat_weights, np.float32)[:, None]
+        )[..., 0]
+    if spatial_mask is not None:
+        w = w * plan.grid_part.scatter(
+            np.asarray(spatial_mask, np.float32)[:, None]
+        )[..., 0]
+    return PlanArrays(
+        enc=_graph_arrays(plan.enc, plan.enc_halos),
+        proc=_graph_arrays(plan.proc, plan.proc_halos),
+        dec=_graph_arrays(plan.dec, plan.dec_halos),
+        grid_static=jnp.asarray(plan.grid_part.scatter(gs.grid_static)),
+        mesh_static=jnp.asarray(plan.mesh_part.scatter(gs.mesh_static)),
+        grid_mask=jnp.asarray(plan.grid_part.node_mask),
+        loss_weight=jnp.asarray(w),
+        num_shards=plan.num_shards,
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-shard layer math (runs INSIDE shard_map; mirrors models/nn.py +
+# models/gnn.py numerics exactly — see tests/test_sharded_model.py)
+# --------------------------------------------------------------------------
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _node_ln(x, p, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _graph_ln_psum(x, p, mask, eps=1e-5):
+    """PyG graph-mode LayerNorm with psum'd masked statistics over space."""
+    w = mask[:, None]
+    c = x.shape[-1]
+    total_sum = jax.lax.psum((x * w).sum(), _AXIS)
+    total_cnt = jnp.maximum(jax.lax.psum(w.sum() * c, _AXIS), 1.0)
+    mean = total_sum / total_cnt
+    var = jax.lax.psum((jnp.square(x - mean) * w).sum(), _AXIS) / total_cnt
+    return (x - mean) / jnp.sqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _mlp_tower(p, x):
+    """MLPTower (models/nn.py:148-170): lin_i -> prelu_i ... -> node LN."""
+    n_lin = sum(1 for k in p if str(k).startswith("lin_"))
+    for i in range(n_lin):
+        lp = p[f"lin_{i}"]
+        x = x @ lp["kernel"] + lp["bias"]
+        if f"prelu_{i}" in p:
+            x = _prelu(x, p[f"prelu_{i}"]["alpha"])
+    if "norm" in p:
+        x = _node_ln(x, p["norm"])
+    return x
+
+
+def _halo_rows(rows: jnp.ndarray, ga: GraphArrays, num_shards: int):
+    """Extended sender table: local rows + exchanged remote rows.
+
+    Gather mode: one tiled all_gather (ids are global slots).
+    Banded mode: two ppermute boundary slabs + hub all_gather (ids are
+    ext-table offsets) — see graphs.partition.BandedHalos.
+    """
+    if not ga.banded:
+        return jax.lax.all_gather(rows, _AXIS, tiled=True)
+    up_perm = [(i, i + 1) for i in range(num_shards - 1)]
+    down_perm = [(i, i - 1) for i in range(1, num_shards)]
+    from_down = jax.lax.ppermute(
+        jnp.take(rows, ga.send_up, axis=0), _AXIS, up_perm
+    )
+    from_up = jax.lax.ppermute(
+        jnp.take(rows, ga.send_down, axis=0), _AXIS, down_perm
+    )
+    hub_all = jax.lax.all_gather(
+        jnp.take(rows, ga.hub, axis=0), _AXIS, tiled=True
+    )
+    return jnp.concatenate([rows, from_down, from_up, hub_all], axis=0)
+
+
+def _gcn_layer(
+    conv_p, x_send, x_recv, ga: GraphArrays, num_shards: int, bipartite: bool
+):
+    """PyG-parity GCNConv (models/gnn.py:65-111) on a sharded graph.
+
+    Bipartite graphs (G2M / M2G): senders have in-degree 0 in the unified
+    node space, so their symmetric-norm factor is 1 and their own output is
+    the pure self-loop term xW + b.  Unified graphs: senders scale their
+    projections by their local dinv before the halo exchange.
+    Returns (out_send, out_recv).
+    """
+    k, b = conv_p["kernel"], conv_p["bias"]
+    xw_r = x_recv @ k
+    deg = jax.ops.segment_sum(
+        ga.edge_mask, ga.receivers, num_segments=ga.num_recv
+    ) + 1.0
+    dinv = jax.lax.rsqrt(deg).astype(xw_r.dtype)
+    if bipartite:
+        xw_s = x_send @ k
+        scaled = xw_s
+    else:
+        xw_s = xw_r
+        scaled = xw_s * dinv[:, None]
+    ext = _halo_rows(scaled, ga, num_shards)
+    msgs = jnp.take(ext, ga.senders, axis=0) * ga.edge_mask[:, None].astype(
+        xw_r.dtype
+    )
+    agg = jax.ops.segment_sum(msgs, ga.receivers, num_segments=ga.num_recv)
+    out_r = agg * dinv[:, None] + xw_r * jnp.square(dinv)[:, None] + b
+    out_s = (xw_s + b) if bipartite else out_r
+    return out_s, out_r
+
+
+def _gcn_stack(
+    gl_p, cfg, x_send, x_recv, ga: GraphArrays, num_shards: int,
+    bipartite: bool,
+):
+    """GraphLayerModule's ConvGCN branch (models/weather.py:137-161)."""
+    hidden = list(cfg.hidden_dims or [])
+    n_layers = len(hidden) + 1
+    act_name = (cfg.activation or "prelu").lower()
+    for i in range(n_layers):
+        x_send, x_recv = _gcn_layer(
+            gl_p[f"conv_{i}"], x_send, x_recv, ga, num_shards, bipartite
+        )
+        if i < n_layers - 1:
+            if act_name == "prelu":
+                alpha = gl_p["act"]["alpha"]
+                x_send = _prelu(x_send, alpha)
+                x_recv = _prelu(x_recv, alpha)
+            else:
+                fn = jax.nn.silu if act_name in ("swish", "silu") else jax.nn.relu
+                x_send, x_recv = fn(x_send), fn(x_recv)
+    if cfg.use_layer_norm:
+        x_send = _node_ln(x_send, gl_p["norm"])
+        x_recv = _node_ln(x_recv, gl_p["norm"])
+    return x_send, x_recv
+
+
+def _interaction_processor(
+    inet_p, x, ga: GraphArrays, num_shards: int, use_layer_norm: bool,
+    activation: str,
+):
+    """InteractionNetProcessor (models/gnn.py:481-531) on the sharded mesh.
+
+    Same parameter layout (nn.scan stacked steps); node/edge MLP first
+    matmuls are split by input block so only node PROJECTIONS cross shards.
+    """
+    p = inet_p
+    enc_p = p["edge_encoder_lin"]
+    e = ga.edge_attr.astype(x.dtype) @ enc_p["kernel"] + enc_p["bias"]
+    if activation == "prelu":
+        e = _prelu(e, p["edge_encoder_act"]["alpha"])
+    else:
+        e = jax.nn.silu(e) if activation in ("swish", "silu") else jax.nn.relu(e)
+    steps_p = p["steps"]["layer"]
+    d = x.shape[-1]
+    emaskf = ga.edge_mask
+
+    def act(v, step_p, key):
+        if activation == "prelu":
+            return _prelu(v, step_p[key]["alpha"])
+        return jax.nn.silu(v) if activation in ("swish", "silu") else jax.nn.relu(v)
+
+    def body(carry, step_p):
+        x, e = carry
+        k0 = step_p["edge_mlp"]["lin_0"]["kernel"]
+        b0 = step_p["edge_mlp"]["lin_0"]["bias"]
+        xs = x @ k0[:d]
+        xr = x @ k0[d: 2 * d]
+        ep = e @ k0[2 * d:]
+        ext = _halo_rows(xs, ga, num_shards)
+        h = (
+            jnp.take(ext, ga.senders, axis=0)
+            + jnp.take(xr, ga.receivers, axis=0)
+            + ep + b0
+        )
+        h = act(h, step_p["edge_mlp"], "act")
+        e_upd = (h @ step_p["edge_mlp"]["lin_1"]["kernel"]
+                 + step_p["edge_mlp"]["lin_1"]["bias"])
+        msgs = e_upd * emaskf[:, None].astype(e_upd.dtype)
+        agg = jax.ops.segment_sum(msgs, ga.receivers, num_segments=ga.num_recv)
+        deg = jax.ops.segment_sum(emaskf, ga.receivers,
+                                  num_segments=ga.num_recv)
+        agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
+        node_in = jnp.concatenate([x, agg], axis=-1)
+        h2 = act(
+            node_in @ step_p["node_mlp"]["lin_0"]["kernel"]
+            + step_p["node_mlp"]["lin_0"]["bias"],
+            step_p["node_mlp"], "act",
+        )
+        n_upd = (h2 @ step_p["node_mlp"]["lin_1"]["kernel"]
+                 + step_p["node_mlp"]["lin_1"]["bias"])
+        new_e = e + e_upd
+        new_x = x + n_upd
+        if use_layer_norm:
+            new_e = _graph_ln_psum(new_e, step_p["edge_norm"], emaskf)
+            new_x = _node_ln(new_x, step_p["node_norm"])
+        return (new_x, new_e), None
+
+    (x, e), _ = jax.lax.scan(body, (x, e), steps_p)
+    return x
+
+
+# --------------------------------------------------------------------------
+# Full per-shard forward
+# --------------------------------------------------------------------------
+
+
+class ShardedWeatherForward:
+    """Per-shard forward of the full WeatherModel (static config holder).
+
+    ``__call__(params, x_grid [G_s, obs·F], arrs)`` runs INSIDE shard_map and
+    returns the grid delta [G_s, C_out].  Consumes WeatherModel's parameter
+    pytree unchanged.
+    """
+
+    def __init__(self, pipeline: PipelineConfig, data: DataConfig,
+                 num_shards: int):
+        self.pipeline = pipeline
+        self.data = data
+        self.num_shards = num_shards
+        self._validate()
+
+    def _validate(self):
+        pl = self.pipeline
+        if pl.product_graph is not None:
+            raise NotImplementedError(
+                "product-graph models use the GSPMD path"
+            )
+        for name in ("encoder", "decoder"):
+            mc = getattr(pl, name)
+            if mc.gcn.layer_type != GraphLayerType.ConvGCN:
+                raise NotImplementedError(
+                    f"sharded {name} supports ConvGCN only "
+                    f"(got {mc.gcn.layer_type}); use the GSPMD path"
+                )
+            if mc.gcn.use_layer_norm and (mc.gcn.layer_norm_mode or "node") != "node":
+                raise NotImplementedError("graph-mode trailing LN unsupported")
+            if mc.mlp is not None and mc.mlp.use_layer_norm and (
+                mc.mlp.layer_norm_mode or "node"
+            ) != "node":
+                raise NotImplementedError("graph-mode MLP LN unsupported")
+        if pl.processor.gcn.layer_type not in (
+            GraphLayerType.InteractionNet, GraphLayerType.ConvGCN
+        ):
+            raise NotImplementedError(
+                "sharded processor supports InteractionNet/ConvGCN only"
+            )
+
+    def __call__(self, params, x_grid: jnp.ndarray, arrs_local) -> jnp.ndarray:
+        p = params["params"] if "params" in params else params
+        pl = self.pipeline
+        s_n = self.num_shards
+
+        grid_in = jnp.concatenate(
+            [x_grid, arrs_local.grid_static.astype(x_grid.dtype)], axis=-1
+        )
+        mesh_dyn = jnp.zeros(
+            (arrs_local.mesh_static.shape[0], x_grid.shape[-1]), x_grid.dtype
+        )
+        mesh_in = jnp.concatenate(
+            [mesh_dyn, arrs_local.mesh_static.astype(x_grid.dtype)], axis=-1
+        )
+
+        # Encoder: (MLP) + GCN stack over G2M (senders grid, receivers mesh).
+        pe = p["encoder"]
+        if pl.encoder.mlp is not None:
+            grid_in = _mlp_tower(pe["mlp"], grid_in)
+            mesh_in = _mlp_tower(pe["mlp"], mesh_in)
+        grid_latent, mesh_latent = _gcn_stack(
+            pe["graph_layer"], pl.encoder.gcn, grid_in, mesh_in,
+            arrs_local.enc, s_n, bipartite=True,
+        )
+
+        # Processor over E_M (mesh-local).
+        pp = p["processor"]
+        x_mesh = mesh_latent
+        if pl.processor.mlp is not None:
+            x_mesh = _mlp_tower(pp["mlp"], x_mesh)
+        if pl.processor.gcn.layer_type == GraphLayerType.InteractionNet:
+            use_ln = (pl.processor.gcn.use_layer_norm
+                      if pl.processor.gcn.use_layer_norm is not None else True)
+            mesh_processed = _interaction_processor(
+                pp["graph_layer"]["inet"], x_mesh, arrs_local.proc, s_n,
+                use_ln, (pl.processor.gcn.activation or "swish").lower(),
+            )
+        else:
+            _, mesh_processed = _gcn_stack(
+                pp["graph_layer"], pl.processor.gcn, x_mesh, x_mesh,
+                arrs_local.proc, s_n, bipartite=False,
+            )
+
+        # Decoder: (MLP) + GCN stack over M2G (senders mesh, receivers grid).
+        pd = p["decoder"]
+        g = grid_latent
+        m = mesh_processed
+        if pl.decoder.mlp is not None:
+            g = _mlp_tower(pd["mlp"], g)
+            m = _mlp_tower(pd["mlp"], m)
+        _, out_grid = _gcn_stack(
+            pd["graph_layer"], pl.decoder.gcn, m, g,
+            arrs_local.dec, s_n, bipartite=True,
+        )
+        return out_grid
+
+
+# --------------------------------------------------------------------------
+# Train / eval steps
+# --------------------------------------------------------------------------
+
+
+def _strip_shard_axis(arrs: PlanArrays, pvary_data: bool = True) -> PlanArrays:
+    """Per-shard slice (+ optionally promote to varying over 'data' so the
+    plan arrays compose with data-parallel activations under shard_map's VMA
+    tracking; they are replicated over 'data', pcast makes that explicit)."""
+    if pvary_data:
+        return jax.tree.map(
+            lambda a: jax.lax.pcast(a[0], "data", to="varying"), arrs
+        )
+    return jax.tree.map(lambda a: a[0], arrs)
+
+
+def make_sharded_forward(fwd: "ShardedWeatherForward", mesh: Mesh) -> Callable:
+    """Jitted single-step sharded forward:
+    ``f(params, x_sh [B, S, G_s, obs·F], arrs) -> delta [B, S, G_s, C]``."""
+    axes = tuple(mesh.axis_names)
+    assert axes == ("data", "space")
+    assert mesh.devices.shape[-1] == fwd.num_shards, (
+        f"mesh space axis {mesh.devices.shape[-1]} != plan shards "
+        f"{fwd.num_shards}"
+    )
+
+    def body(params, x, arrs):
+        al = _strip_shard_axis(arrs)
+        out = jax.vmap(lambda xi: fwd(params, xi, al))(x[:, 0])
+        return out[:, None]
+
+    smap = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(*axes), P(axes[-1])),
+        out_specs=P(*axes),
+    )
+    return jax.jit(smap)
+
+
+def _local_weights(arrs_local, chan_mask, num_features):
+    """[G_s, C] per-element loss weights (0 on padding rows)."""
+    w = arrs_local.loss_weight[:, None]
+    if chan_mask is not None:
+        w = w * chan_mask[None, :]
+    else:
+        w = jnp.broadcast_to(w, (w.shape[0], num_features))
+    return w
+
+
+def _cast_tree(tree, dtype):
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree
+    )
+
+
+def make_sharded_train_step(
+    fwd: ShardedWeatherForward,
+    spec: RolloutSpec,
+    mesh: Mesh,
+    optimizer,
+    steps: int,
+    chan_mask: Optional[jnp.ndarray] = None,
+    compute_dtype=jnp.float32,
+    freeze_processor: bool = False,
+) -> Callable:
+    """Returns jitted ``step(params, opt_state, x_sh, y_sh, arrs) ->
+    (params, opt_state, loss)``.
+
+    ``x_sh``: [B, S, G_s, obs·F] sharded ``P("data", "space")``;
+    ``y_sh``: [B, S, G_s, P·F].  Params/opt_state replicated.
+    """
+    obs, nf = spec.obs_window, spec.num_features
+    axes = tuple(mesh.axis_names)
+    assert axes == ("data", "space"), (
+        f"sharded train step expects a ('data', 'space') mesh, got {axes}"
+    )
+    assert mesh.devices.shape[-1] == fwd.num_shards, (
+        f"mesh space axis {mesh.devices.shape[-1]} != plan shards "
+        f"{fwd.num_shards}"
+    )
+
+    def body(params, opt_state, x, y, arrs):
+        x = x[:, 0]      # local: [B_l, G_s, obs·F]
+        y = y[:, 0]
+        al = _strip_shard_axis(arrs)
+        g_s = x.shape[1]
+        b_l = x.shape[0]
+        w = _local_weights(al, chan_mask, nf)          # [G_s, C]
+
+        def num_fn(params):
+            params_c = _cast_tree(params, compute_dtype)
+            window = x.reshape(b_l, g_s, obs, nf).astype(compute_dtype)
+            targets = y.reshape(b_l, g_s, -1, nf).astype(compute_dtype)
+            wc = w.astype(compute_dtype)
+
+            def one_step(window):
+                inp = window.reshape(b_l, g_s, obs * nf)
+                delta = jax.vmap(lambda xi: fwd(params_c, xi, al))(inp)
+                if spec.use_residual:
+                    return window[:, :, -1, :] + delta
+                return delta
+
+            step_fn = jax.checkpoint(one_step) if spec.remat else one_step
+            num = jnp.float32(0.0)
+            for step in range(steps):
+                out = step_fn(window)
+                tgt = targets[:, :, step, :]
+                num = num + (jnp.square(out - tgt) * wc).sum().astype(
+                    jnp.float32
+                )
+                out = carry_forward(out, window[:, :, -1, :], tgt, spec)
+                window = jnp.concatenate(
+                    [window[:, :, 1:, :], out[:, :, None, :]], axis=2
+                )
+            return num
+
+        num, grads = jax.value_and_grad(num_fn)(params)
+        den_local = w.sum() * b_l                      # param-free
+        num = jax.lax.psum(num, axes)
+        den = jnp.maximum(jax.lax.psum(den_local, axes), 1e-12)
+        scale = 1.0 / (den * steps)
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) * scale), grads
+        )
+        grads = jax.lax.psum(grads, axes)
+        loss = num * scale
+        if freeze_processor:
+            from ..training.trainer import _zero_processor_grads
+
+            grads = _zero_processor_grads(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1])),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(smap, donate_argnums=(0, 1))
+
+
+def make_sharded_eval_step(
+    fwd: ShardedWeatherForward,
+    spec: RolloutSpec,
+    mesh: Mesh,
+    chan_mask: Optional[jnp.ndarray] = None,
+    exclude_channels: Tuple[int, ...] = (),
+) -> Callable:
+    """Jitted ``eval(params, x_sh, y_sh, arrs) -> (loss, acc, raw_rmse)``
+    on the first rollout step (mirrors Trainer._make_eval_step).
+
+    The batch is REPLICATED over the data axis (in_spec ``P(None, "space")``)
+    so eval works for any batch size, including the last partial batch and
+    batch 1; eval compute is duplicated data-axis× (eval is a small fraction
+    of an epoch)."""
+    obs, nf = spec.obs_window, spec.num_features
+    axes = tuple(mesh.axis_names)
+    assert axes == ("data", "space"), (
+        f"sharded eval step expects a ('data', 'space') mesh, got {axes}"
+    )
+    assert mesh.devices.shape[-1] == fwd.num_shards, (
+        f"mesh space axis {mesh.devices.shape[-1]} != plan shards "
+        f"{fwd.num_shards}"
+    )
+    space = axes[-1]
+    keep = np.array(
+        [i for i in range(nf) if i not in set(exclude_channels)], np.int32
+    )
+
+    def body(params, x, y, arrs):
+        x = x[:, 0]
+        y = y[:, 0]
+        al = _strip_shard_axis(arrs, pvary_data=False)
+        b_l, g_s = x.shape[0], x.shape[1]
+        window = x.reshape(b_l, g_s, obs, nf)
+        targets = y.reshape(b_l, g_s, -1, nf)
+        inp = window.reshape(b_l, g_s, obs * nf)
+        delta = jax.vmap(lambda xi: fwd(params, xi, al))(inp)
+        out = window[:, :, -1, :] + delta if spec.use_residual else delta
+        tgt = targets[:, :, 0, :]
+        out = carry_forward(out, window[:, :, -1, :], tgt, spec)
+
+        w = _local_weights(al, chan_mask, nf)
+        num = jax.lax.psum((jnp.square(out - tgt) * w).sum(), space)
+        den = jnp.maximum(jax.lax.psum(w.sum() * b_l, space), 1e-12)
+        loss = num / den
+
+        nm = al.grid_mask[None, :, None]               # [1, G_s, 1]
+        n_nodes = jax.lax.psum(al.grid_mask.sum(), space)
+        rmse_num = jax.lax.psum((jnp.square(out - tgt) * nm).sum(), space)
+        rmse_den = jnp.maximum(
+            jax.lax.psum(al.grid_mask.sum() * b_l * nf, space), 1.0
+        )
+        raw_rmse = jnp.sqrt(rmse_num / rmse_den)
+
+        # Masked spatial ACC (loss.anomaly_correlation semantics).
+        def moments(v):
+            mean = jax.lax.psum((v * nm).sum(axis=1), space) / n_nodes
+            var = jax.lax.psum(
+                (jnp.square(v - mean[:, None, :]) * nm).sum(axis=1), space
+            ) / n_nodes
+            return mean, jnp.sqrt(var)
+
+        mp, sp = moments(out)
+        mt, st = moments(tgt)
+        pn = (out - mp[:, None, :]) / (sp[:, None, :] + 1e-8)
+        tn = (tgt - mt[:, None, :]) / (st[:, None, :] + 1e-8)
+        acc_pf = jax.lax.psum((pn * tn * nm).sum(axis=1), space) / n_nodes
+        acc = acc_pf[:, keep].mean()
+        return loss, acc, raw_rmse
+
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, space), P(None, space), P(space)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(smap)

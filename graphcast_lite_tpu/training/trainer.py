@@ -122,7 +122,13 @@ class Trainer:
         processor_lr_factor: float = 1.0,
         optimizer: Optional[optax.GradientTransformation] = None,
         extra_loss_fn: Optional[Callable] = None,
+        mesh=None,
+        graph_set=None,
     ):
+        """``mesh`` (a 2-D ("data", "space") jax.sharding.Mesh) + ``graph_set``
+        (the host-side GraphSet) switch training to the integrated sharded
+        path (parallel/sharded_model.py): explicit shard_map over latitude
+        bands for all three graphs, batch data-parallel over "data"."""
         self.model = model
         self.graphs = graphs
         self.config = config
@@ -181,6 +187,42 @@ class Trainer:
         self.extra_loss_fn = extra_loss_fn
         self._train_step_cache: Dict[Tuple, Callable] = {}
         self._eval_step_cache: Optional[Callable] = None
+
+        # ---- integrated multi-chip path (parallel/sharded_model) ------------
+        self.mesh = mesh
+        self._plan = None
+        self._plan_arrays = None
+        self._sharded_fwd = None
+        if mesh is not None:
+            from ..parallel.sharded_model import (
+                ShardedWeatherForward,
+                build_sharding_plan,
+                plan_device_arrays,
+            )
+
+            if graph_set is None:
+                raise ValueError("mesh= requires graph_set= (host GraphSet)")
+            if self.using_sparse_gat:
+                raise NotImplementedError(
+                    "SparseGAT models use the GSPMD path (parallel.sharding),"
+                    " not the explicit sharded trainer"
+                )
+            if extra_loss_fn is not None:
+                raise NotImplementedError(
+                    "extra_loss_fn is not supported on the sharded path"
+                )
+            n_space = int(mesh.devices.shape[-1])
+            self._plan = build_sharding_plan(graph_set, n_space)
+            self._plan_arrays = plan_device_arrays(
+                self._plan, graph_set,
+                lat_weights=np.asarray(self.lat_weights)
+                if self.lat_weights is not None else None,
+                spatial_mask=np.asarray(self.spatial_mask)
+                if self.spatial_mask is not None else None,
+            )
+            self._sharded_fwd = ShardedWeatherForward(
+                config.pipeline, config.data, n_space
+            )
 
     # ------------------------------------------------------------------ core
     def init_state(self, seed: Optional[int] = None) -> TrainState:
@@ -286,6 +328,9 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, state, x, y, steps, thr, prune, freeze_processor):
+        if self.mesh is not None:
+            return self._sharded_train_step(state, x, y, steps,
+                                            freeze_processor)
         key = (int(steps), bool(prune), bool(freeze_processor),
                tuple(x.shape))
         if key not in self._train_step_cache:
@@ -295,6 +340,32 @@ class Trainer:
         return self._train_step_cache[key](
             state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(thr)
         )
+
+    def _sharded_train_step(self, state, x, y, steps, freeze_processor):
+        from ..parallel.sharded_model import make_sharded_train_step
+
+        data_ax = int(self.mesh.devices.shape[0])
+        if x.shape[0] % data_ax != 0:
+            raise ValueError(
+                f"sharded training needs batch ({x.shape[0]}) divisible by "
+                f"the data-parallel axis ({data_ax}); use drop_remainder "
+                "batching or a compatible batch_size"
+            )
+        key = ("sharded", int(steps), bool(freeze_processor), tuple(x.shape))
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = make_sharded_train_step(
+                self._sharded_fwd, self.spec, self.mesh, self.optimizer,
+                steps, chan_mask=self.chan_mask,
+                compute_dtype=self._compute_dtype,
+                freeze_processor=freeze_processor,
+            )
+        x_sh = jnp.asarray(self._plan.scatter_grid(np.asarray(x)))
+        y_sh = jnp.asarray(self._plan.scatter_grid(np.asarray(y)))
+        params, opt_state, loss = self._train_step_cache[key](
+            state.params, state.opt_state, x_sh, y_sh, self._plan_arrays
+        )
+        return TrainState(params=params, opt_state=opt_state,
+                          edge_mask=None), loss
 
     def _make_eval_step(self):
         exclude = tuple(
@@ -326,12 +397,44 @@ class Trainer:
         return jax.jit(step)
 
     def evaluate(self, state: TrainState, loader: BatchIterator):
+        if self.mesh is not None:
+            return self._sharded_evaluate(state, loader)
         if self._eval_step_cache is None:
             self._eval_step_cache = self._make_eval_step()
         losses, accs, rmses = [], [], []
         for x, y in loader:
             l, a, r = self._eval_step_cache(
                 state.params, state.edge_mask, jnp.asarray(x), jnp.asarray(y)
+            )
+            losses.append(float(l))
+            accs.append(float(a))
+            rmses.append(float(r) ** 2)
+        n = max(len(losses), 1)
+        return (
+            sum(losses) / n,
+            sum(accs) / n,
+            (sum(rmses) / n) ** 0.5,
+        )
+
+    def _sharded_evaluate(self, state: TrainState, loader: BatchIterator):
+        from ..parallel.sharded_model import make_sharded_eval_step
+
+        if self._eval_step_cache is None:
+            exclude = tuple(
+                sorted(set(self.config.static_channels)
+                       | set(self.config.forcing_channels))
+            )
+            self._eval_step_cache = make_sharded_eval_step(
+                self._sharded_fwd, self.spec, self.mesh,
+                chan_mask=self.chan_mask, exclude_channels=exclude,
+            )
+        losses, accs, rmses = [], [], []
+        for x, y in loader:
+            l, a, r = self._eval_step_cache(
+                state.params,
+                jnp.asarray(self._plan.scatter_grid(np.asarray(x))),
+                jnp.asarray(self._plan.scatter_grid(np.asarray(y))),
+                self._plan_arrays,
             )
             losses.append(float(l))
             accs.append(float(a))

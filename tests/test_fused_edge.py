@@ -123,3 +123,43 @@ def test_layer_param_compat_and_forward(rng, monkeypatch):
     for a, b in zip(out_fused, out_split):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_training_trace_gates_fused_path(monkeypatch):
+    """use_fused_edge() must be False outside and True inside
+    training_trace() (with the env overrides cleared / kernel policy on),
+    and rollout_loss must set the flag during its trace (ADVICE r1)."""
+    from graphcast_lite_tpu.ops import fused_edge, segment
+
+    monkeypatch.delenv("GCLT_FUSED_EDGE", raising=False)
+    monkeypatch.setattr(segment, "use_pallas_segment_sum", lambda: True)
+
+    assert not fused_edge.use_fused_edge()
+    with fused_edge.training_trace():
+        assert fused_edge.use_fused_edge()
+    assert not fused_edge.use_fused_edge()
+
+    # env override wins in both directions
+    monkeypatch.setenv("GCLT_FUSED_EDGE", "1")
+    assert fused_edge.use_fused_edge()
+    monkeypatch.setenv("GCLT_FUSED_EDGE", "0")
+    with fused_edge.training_trace():
+        assert not fused_edge.use_fused_edge()
+    monkeypatch.delenv("GCLT_FUSED_EDGE")
+
+    # rollout_loss sets the flag for the duration of its (model_fn) trace.
+    from graphcast_lite_tpu.training.rollout import RolloutSpec, rollout_loss
+
+    seen = []
+
+    def model_fn(inp, m, t, p):
+        seen.append(fused_edge.use_fused_edge())
+        return jnp.zeros_like(inp[..., :4]), m
+
+    spec = RolloutSpec(obs_window=1, num_features=4, use_residual=False,
+                       remat=False)
+    window = jnp.zeros((2, 5, 1, 4))
+    targets = jnp.zeros((2, 5, 1, 4))
+    rollout_loss(model_fn, window, targets, 1, spec)
+    assert seen == [True]
+    assert not fused_edge.use_fused_edge()

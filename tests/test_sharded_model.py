@@ -1,0 +1,252 @@
+"""Parity of the integrated sharded full-model path (parallel/sharded_model)
+against the single-device WeatherModel on an 8-device CPU mesh.
+
+Covers VERDICT r1 item 1: the FULL encode-process-decode forward, the AR
+rollout loss, and the gradients must match the unsharded program to ≤1e-3
+(same params, same inputs), in both gather and banded halo modes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphcast_lite_tpu import presets
+from graphcast_lite_tpu.graphs.build import build_graph_set
+from graphcast_lite_tpu.models.weather import ModelGraphs, WeatherModel
+from graphcast_lite_tpu.parallel.sharded_model import (
+    ShardedWeatherForward,
+    build_sharding_plan,
+    make_sharded_eval_step,
+    make_sharded_forward,
+    make_sharded_train_step,
+    plan_device_arrays,
+)
+from graphcast_lite_tpu.training.loss import weighted_mse
+from graphcast_lite_tpu.training.rollout import RolloutSpec, rollout_loss
+
+N_DEV = 8
+N_FEAT, OBS, PRED, HIDDEN, MP = 5, 2, 2, 32, 2
+
+
+def _mesh_2d(data=2):
+    devs = np.asarray(jax.devices()[:N_DEV]).reshape(data, N_DEV // data)
+    return Mesh(devs, axis_names=("data", "space"))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = presets.interaction_net_64x32(
+        n_feat=N_FEAT, obs=OBS, pred=PRED, hidden=HIDDEN, mp_steps=MP
+    )
+    cfg.graph.mesh_levels = [1, 2]
+    lat = np.linspace(-80, 80, 16).astype(np.float32)
+    lon = np.arange(0, 360, 360 / 24).astype(np.float32)
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(
+        pipeline=cfg.pipeline, data=cfg.data,
+        num_grid_nodes=gs.num_grid_nodes, num_mesh_nodes=gs.num_mesh_nodes,
+    )
+    x0 = jnp.zeros((gs.num_grid_nodes, OBS * N_FEAT), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, graphs)
+    return cfg, gs, graphs, model, params
+
+
+@pytest.mark.parametrize("halo_mode", ["gather", "banded"])
+def test_forward_parity(setup, halo_mode):
+    cfg, gs, graphs, model, params = setup
+    rng = np.random.RandomState(1)
+    x = rng.randn(gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+
+    expect, _ = model.apply(params, jnp.asarray(x), graphs)
+    expect = np.asarray(expect)
+
+    plan = build_sharding_plan(gs, N_DEV, halo_mode=halo_mode)
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, N_DEV)
+
+    mesh = Mesh(np.asarray(jax.devices()[:N_DEV]).reshape(1, N_DEV),
+                ("data", "space"))
+    x_sh = plan.scatter_grid(x)
+    run = make_sharded_forward(fwd, mesh)
+    out_sh = run(params, jnp.asarray(x_sh[None]), arrs)
+    got = plan.gather_grid(np.asarray(out_sh[0]))
+    err = np.abs(got - expect).max()
+    assert err < 1e-4, f"sharded full-model forward mismatch ({halo_mode}): {err}"
+
+
+@pytest.mark.parametrize("halo_mode", ["gather", "banded"])
+def test_train_step_parity(setup, halo_mode):
+    """Loss and post-step params of the sharded train step match the
+    unsharded rollout_loss + adam step."""
+    cfg, gs, graphs, model, params = setup
+    spec = RolloutSpec(obs_window=OBS, num_features=N_FEAT,
+                       use_residual=True, remat=True)
+    batch = 4
+    rng = np.random.RandomState(2)
+    x = rng.randn(batch, gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    y = rng.randn(batch, gs.num_grid_nodes, PRED * N_FEAT).astype(np.float32)
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    # --- unsharded reference step ---------------------------------------
+    def loss_fn(params):
+        window = x.reshape(batch, gs.num_grid_nodes, OBS, N_FEAT)
+        targets = y.reshape(batch, gs.num_grid_nodes, PRED, N_FEAT)
+
+        def model_fn(inp, m, t, p):
+            out, _ = jax.vmap(
+                lambda xi: model.apply(params, xi, graphs, m, t, p)
+            )(inp)
+            return out, None
+
+        loss, _ = rollout_loss(model_fn, jnp.asarray(window),
+                               jnp.asarray(targets), PRED, spec)
+        return loss
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = optimizer.update(ref_grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    # --- sharded step (data=2 × space=4 mesh) -----------------------------
+    n_space = N_DEV // 2
+    plan = build_sharding_plan(gs, n_space, halo_mode=halo_mode)
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
+    mesh = _mesh_2d(data=2)
+    step = make_sharded_train_step(fwd, spec, mesh, optimizer, steps=PRED)
+
+    x_sh = jnp.asarray(plan.scatter_grid(x))
+    y_sh = jnp.asarray(plan.scatter_grid(y))
+    # step donates its params/opt_state args; keep the fixture's alive.
+    new_params, _, loss = step(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), x_sh, y_sh,
+        arrs,
+    )
+
+    assert abs(float(loss) - float(ref_loss)) < 1e-4, (
+        f"loss mismatch ({halo_mode}): sharded {float(loss)} vs "
+        f"ref {float(ref_loss)}"
+    )
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_params, ref_params
+    )
+    max_diff = max(jax.tree.leaves(diffs))
+    assert max_diff < 1e-3, f"post-step param mismatch ({halo_mode}): {max_diff}"
+
+
+def test_eval_step_parity(setup):
+    cfg, gs, graphs, model, params = setup
+    spec = RolloutSpec(obs_window=OBS, num_features=N_FEAT, use_residual=True)
+    batch = 2
+    rng = np.random.RandomState(3)
+    x = rng.randn(batch, gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    y = rng.randn(batch, gs.num_grid_nodes, PRED * N_FEAT).astype(np.float32)
+
+    # unsharded 1-step eval quantities
+    window = x.reshape(batch, gs.num_grid_nodes, OBS, N_FEAT)
+    out, _ = jax.vmap(
+        lambda xi: model.apply(params, jnp.asarray(xi), graphs)
+    )(jnp.asarray(x))
+    out = jnp.asarray(window)[:, :, -1, :] + out
+    tgt = jnp.asarray(y.reshape(batch, gs.num_grid_nodes, PRED, N_FEAT))[
+        :, :, 0, :
+    ]
+    ref_loss = float(weighted_mse(out, tgt))
+    ref_rmse = float(jnp.sqrt(jnp.mean(jnp.square(out - tgt))))
+
+    n_space = N_DEV // 2
+    plan = build_sharding_plan(gs, n_space)
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
+    mesh = _mesh_2d(data=2)
+    ev = make_sharded_eval_step(fwd, spec, mesh)
+    loss, acc, rmse = ev(params, jnp.asarray(plan.scatter_grid(x)),
+                         jnp.asarray(plan.scatter_grid(y)), arrs)
+    assert abs(float(loss) - ref_loss) < 1e-5
+    assert abs(float(rmse) - ref_rmse) < 1e-5
+    assert -1.1 < float(acc) < 1.1
+
+
+def test_gcn_processor_variant(setup):
+    """The baseline GCN pipeline (encoder/processor/decoder all ConvGCN)
+    also runs sharded with forward parity."""
+    _, gs, _, _, _ = setup
+    cfg = presets.baseline_gcn_64x32(n_feat=N_FEAT, obs=OBS, pred=1, hidden=16)
+    cfg.graph.mesh_levels = [1, 2]
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(
+        pipeline=cfg.pipeline, data=cfg.data,
+        num_grid_nodes=gs.num_grid_nodes, num_mesh_nodes=gs.num_mesh_nodes,
+    )
+    x0 = jnp.zeros((gs.num_grid_nodes, OBS * N_FEAT), jnp.float32)
+    params = model.init(jax.random.PRNGKey(5), x0, graphs)
+    rng = np.random.RandomState(6)
+    x = rng.randn(gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    expect = np.asarray(model.apply(params, jnp.asarray(x), graphs)[0])
+
+    plan = build_sharding_plan(gs, N_DEV)
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, N_DEV)
+    mesh = Mesh(np.asarray(jax.devices()[:N_DEV]).reshape(1, N_DEV),
+                ("data", "space"))
+    run = make_sharded_forward(fwd, mesh)
+    out_sh = run(params, jnp.asarray(plan.scatter_grid(x)[None]), arrs)
+    got = plan.gather_grid(np.asarray(out_sh[0]))
+    err = np.abs(got - expect).max()
+    assert err < 1e-4, f"GCN-pipeline sharded forward mismatch: {err}"
+
+
+def test_comm_accounting_auto_select():
+    """The auto halo selector picks banded only when it moves fewer rows,
+    and the accounting is exact for both modes."""
+    lat = np.linspace(-80, 80, 16).astype(np.float32)
+    lon = np.arange(0, 360, 360 / 24).astype(np.float32)
+    gs = build_graph_set(lat, lon, [1, 2], grid2mesh_radius_query=0.6)
+    plan = build_sharding_plan(gs, N_DEV, halo_mode="auto")
+    for name in ("enc", "proc", "dec"):
+        st = plan.comm_stats[name]
+        assert st["chosen"] == (
+            "banded" if st["banded"] < st["all_gather_baseline"] else "gather"
+        )
+        halos = getattr(plan, f"{name}_halos")
+        assert (halos is not None) == (st["chosen"] == "banded")
+
+
+def test_trainer_mesh_path(tmp_path):
+    """Trainer(mesh=...) trains the full model on a (data, space) CPU mesh
+    and tracks the unsharded trainer's losses (same seed, same data order)."""
+    from test_training import small_experiment
+
+    from graphcast_lite_tpu.config import GraphLayerType
+    from graphcast_lite_tpu.training.trainer import Trainer
+
+    cfg, model, graphs, train_ds, val_ds, _, meta = small_experiment(
+        tmp_path, processor_type=GraphLayerType.InteractionNet, max_ar=1
+    )
+    cfg = cfg.model_copy(update={"num_epochs": 2})
+    gs = build_graph_set(
+        meta.coordinates[0], meta.coordinates[1],
+        cfg.graph.mesh_levels, cfg.graph.grid2mesh_radius_query,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:N_DEV]).reshape(2, N_DEV // 2),
+                ("data", "space"))
+
+    ref = Trainer(model, graphs, cfg, meta, str(tmp_path / "r_ref"))
+    ref_res = ref.fit(ref.init_state(seed=0), train_ds, val_ds,
+                      print_losses=False)
+
+    tr = Trainer(model, graphs, cfg, meta, str(tmp_path / "r_sh"),
+                 mesh=mesh, graph_set=gs)
+    sh_res = tr.fit(tr.init_state(seed=0), train_ds, val_ds,
+                    print_losses=False)
+
+    for a, b in zip(ref_res["train_losses"], sh_res["train_losses"]):
+        assert abs(a - b) < 5e-3 * max(abs(a), 1e-3), (ref_res, sh_res)
+    for a, b in zip(ref_res["val_losses"], sh_res["val_losses"]):
+        assert abs(a - b) < 5e-3 * max(abs(a), 1e-3), (ref_res, sh_res)
