@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("--data-dir", required=True,
                         help="dir from build_downscaler_dataset "
                         "(X_coarse.npy / Y_fine.npy)")
+    parser.add_argument(
+        "--config", default=None,
+        help="reference-style flat downscaler config.json (the schema "
+        "scripts/train_downscaler.py reads); fields become defaults",
+    )
     parser.add_argument("--gnn-input", default=None,
                         help="optional gnn_pred.npy to use as inputs")
     parser.add_argument("--base-filters", type=int, default=48)
@@ -43,6 +48,19 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.config:
+        from ..config import load_experiment_config
+
+        gc = load_experiment_config(args.config)
+        if not hasattr(gc, "base_filters"):
+            parser.error(f"{args.config} is a GNN experiment config")
+        args.base_filters = gc.base_filters
+        args.epochs = gc.num_epochs
+        args.lr = gc.learning_rate
+        args.spectral_weight = gc.spectral_weight
+        args.gradient_weight = gc.gradient_weight
+        args.batch_size = gc.batch_size
 
     import optax
 

@@ -20,7 +20,12 @@ import os
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("out_dir")
-    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument(
+        "--config", default=None,
+        help="reference-style flat U-Net config.json (src/unet/main.py "
+        "schema); its fields become the defaults below",
+    )
     parser.add_argument("--arch", choices=["v1", "v2"], default="v1")
     parser.add_argument("--base-filters", type=int, default=64)
     parser.add_argument("--obs-window", type=int, default=2)
@@ -35,6 +40,30 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.config:
+        from ..config import load_experiment_config
+
+        gc = load_experiment_config(args.config)
+        if not hasattr(gc, "base_filters"):
+            parser.error(f"{args.config} is a GNN experiment config; "
+                         "use cli.train for it")
+        args.data_dir = args.data_dir or gc.data_dir
+        args.base_filters = gc.base_filters
+        args.obs_window = gc.obs_window
+        args.max_ar = gc.max_ar_steps
+        args.n_features = gc.num_features
+        args.epochs = gc.num_epochs
+        args.lr = gc.learning_rate
+        args.spectral_weight = gc.spectral_weight
+        args.gradient_weight = gc.gradient_weight
+        args.static_channels = gc.static_channels
+        args.forcing_channels = gc.forcing_channels
+        args.batch_size = gc.batch_size
+        if gc.spectral_weight > 0 or gc.gradient_weight > 0:
+            args.arch = "v2"
+    if not args.data_dir:
+        parser.error("--data-dir (or a --config with data_dir) is required")
 
     import optax
 

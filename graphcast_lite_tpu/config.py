@@ -29,6 +29,8 @@ __all__ = [
     "DataConfig",
     "TpuConfig",
     "ExperimentConfig",
+    "GridExperimentConfig",
+    "is_grid_config",
     "load_experiment_config",
 ]
 
@@ -67,7 +69,10 @@ class GraphBuildingConfig(BaseModel):
 class MLPBlock(BaseModel):
     mlp_hidden_dims: Optional[List[int]] = None
     output_dim: int
-    use_layer_norm: bool
+    # Defaulted like the rest of the layered-defaults policy (reference
+    # src/config.py:106-122 reads it with getattr defaults; demo_low's
+    # config.json even misspells the key and relies on the default).
+    use_layer_norm: bool = False
     layer_norm_mode: Optional[str] = None
 
 
@@ -157,10 +162,80 @@ class ExperimentConfig(BaseModel):
     tpu: TpuConfig = TpuConfig()
 
 
-def load_experiment_config(path: str) -> ExperimentConfig:
+class GridExperimentConfig(BaseModel):
+    """The reference's CNN-stack config schema — the flat ``config.json``
+    read by its U-Net trainers (reference src/unet/main.py, main_v2.py) and
+    downscaler trainer (reference scripts/train_downscaler.py).  Routed to
+    the GridImageModel/Trainer path (cli/train_unet.py, cli/train_downscaler
+    .py) via ``to_experiment_config``."""
+
+    data_dir: Optional[str] = None
+    num_features: int
+    obs_window: int = 2
+    pred_steps: int = 4
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    num_epochs: int = 50
+    patience: int = 10
+    base_filters: int = 64
+    max_ar_steps: int = 4
+    # V2 extras (reference src/unet/main_v2.py / train_downscaler.py)
+    attn_heads: int = 4
+    spectral_modes: int = 4
+    spectral_weight: float = 0.0
+    gradient_weight: float = 0.0
+    static_channels: List[int] = []
+    forcing_channels: List[int] = []
+    random_seed: Optional[int] = 42
+    static_context: bool = False
+    residual: bool = True
+    gnn_input: bool = False
+    input_noise: float = 0.0
+    augment_flip: bool = False
+    notes: Optional[str] = None
+
+    def to_experiment_config(self) -> "ExperimentConfig":
+        """Build the unified ExperimentConfig the shared Trainer consumes
+        (graph/pipeline absent — CNN stacks have no graph)."""
+        return ExperimentConfig(
+            batch_size=self.batch_size,
+            learning_rate=self.learning_rate,
+            num_epochs=self.num_epochs,
+            early_stopping_patience=self.patience,
+            random_seed=self.random_seed,
+            max_ar_steps=self.max_ar_steps,
+            static_channels=self.static_channels,
+            forcing_channels=self.forcing_channels,
+            use_residual=self.residual,
+            data_dir=self.data_dir,
+            data=DataConfig(
+                dataset_name="unet",
+                num_features_used=self.num_features,
+                obs_window_used=self.obs_window,
+                pred_window_used=max(self.pred_steps, 1),
+                want_feats_flattened=True,
+            ),
+        )
+
+
+def is_grid_config(raw: dict) -> bool:
+    """True for the reference's flat CNN schema (no pipeline/data blocks)."""
+    return "pipeline" not in raw and "data" not in raw and (
+        "base_filters" in raw or "num_features" in raw
+    )
+
+
+def load_experiment_config(path: str):
     """Load an experiment config.json (reference files ingest unchanged;
-    unknown legacy keys like wandb credentials are tolerated)."""
+    unknown legacy keys like wandb credentials are tolerated).
+
+    Returns an ``ExperimentConfig`` for GNN experiments and a
+    ``GridExperimentConfig`` for the reference's flat U-Net/downscaler
+    schema (all 27 reference ``experiments/*/config.json`` files construct
+    a runnable config — tests/test_config_ingestion.py)."""
     with open(path) as f:
         raw = json.load(f)
     raw.pop("wandb_key", None)  # never carry credentials forward
+    if is_grid_config(raw):
+        return GridExperimentConfig(**raw)
     return ExperimentConfig(**raw)
