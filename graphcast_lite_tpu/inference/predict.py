@@ -153,8 +153,17 @@ def evaluate_model(
     scalers_std: Optional[np.ndarray] = None,
     save_predictions: Optional[str] = None,
     horizon_hours: int = 6,
+    postprocess=None,
+    skip_samples: int = 0,
 ) -> EvalReport:
-    """Run AR evaluation over `dataset` and return the metric report."""
+    """Run AR evaluation over `dataset` and return the metric report.
+
+    ``postprocess(pred_flat [G, steps·C], sample_idx) -> pred_flat`` applies
+    a post-processing correction (lapse / MOS / IDW / cascade — the ladder of
+    reference scripts/evaluate_full_pipeline.py) to the finished trajectory
+    before metrics; unlike ``assimilator`` it is NOT fed back into the AR
+    window.  ``skip_samples`` drops the first samples (e.g. a MOS
+    calibration period)."""
     c = dataset.n_feat
     obs = dataset.obs_window
     g = dataset.n_nodes
@@ -197,8 +206,8 @@ def evaluate_model(
 
     n = len(dataset)
     if max_samples is not None:
-        n = min(n, max_samples)
-    for i in range(n):
+        n = min(n, skip_samples + max_samples)
+    for i in range(skip_samples, n):
         x, y = dataset.get(i)
         p_avail = y.shape[-1] // c
         steps = min(ar_steps, p_avail)
@@ -217,6 +226,8 @@ def evaluate_model(
             outs.append(out_np)
 
         pred_flat = np.concatenate(outs, axis=1)             # [G, steps·C]
+        if postprocess is not None:
+            pred_flat = postprocess(pred_flat, i)
         gt_flat = targets[:, :steps, :].reshape(g, steps * c)
         base_flat = np.tile(persistence, (1, steps))
 
