@@ -259,34 +259,9 @@ class _TwoLayerMLP(nn.Module):
         return TorchLinear(self.out, name="lin_1")(x)
 
 
-class _ParamLinear(nn.Module):
-    """Declares TorchLinear-compatible params without applying them (used
-    where the matmul is algebraically restructured by the caller)."""
-
-    in_features: int
-    out_features: int
-
-    def setup(self):
-        import numpy as _np
-
-        bound = 1.0 / _np.sqrt(self.in_features)
-        self.kernel = self.param(
-            "kernel",
-            lambda key, shape: jax.random.uniform(
-                key, shape, minval=-bound, maxval=bound
-            ),
-            (self.in_features, self.out_features),
-        )
-        self.bias = self.param(
-            "bias",
-            lambda key, shape: jax.random.uniform(
-                key, shape, minval=-bound, maxval=bound
-            ),
-            (self.out_features,),
-        )
-
-    def __call__(self, x):  # pragma: no cover - not used directly
-        return x @ self.kernel + self.bias
+# (the former _ParamLinear duplicate was unified into _TorchLinearParams —
+# their init expressions were bit-identical; tests/test_gnn_parity.py::
+# test_params_only_linear_matches_torch_linear pins that.)
 
 
 class _SplitEdgeMLP(nn.Module):
@@ -311,7 +286,7 @@ class _SplitEdgeMLP(nn.Module):
         from ..ops.gather import gather_rows
 
         d, de = self.node_dim, self.edge_dim
-        lin_0 = _ParamLinear(2 * d + de, self.hidden, name="lin_0")
+        lin_0 = _TorchLinearParams(2 * d + de, self.hidden, name="lin_0")
         k = lin_0.kernel
         xs = x @ k[:d]
         xr = x @ k[d : 2 * d]
@@ -328,9 +303,11 @@ class _SplitEdgeMLP(nn.Module):
 
 
 class _TorchLinearParams(nn.Module):
-    """Declares TorchLinear's params (identical init EXPRESSION, hence
-    bit-identical draws) without applying them — for callers that restructure
-    the matmul."""
+    """Declares TorchLinear's params without applying them — the single
+    canonical params-only declarator for callers that restructure the
+    matmul (split/fused edge MLPs).  The init expressions are bit-identical
+    to ``TorchLinear``'s (u·2b−b with b = 1/sqrt(fan_in)), so plain, split
+    and fused paths provably share checkpoints."""
 
     in_features: int
     out_features: int
@@ -372,7 +349,7 @@ class _FusedEdgeMLP(nn.Module):
         from ..ops.fused_edge import edge_pipeline
 
         d, de = self.node_dim, self.edge_dim
-        lin_0 = _ParamLinear(2 * d + de, self.hidden, name="lin_0")
+        lin_0 = _TorchLinearParams(2 * d + de, self.hidden, name="lin_0")
         lin_1 = _TorchLinearParams(self.hidden, self.out, name="lin_1")
         k = lin_0.kernel
         return edge_pipeline(

@@ -240,3 +240,26 @@ def test_masked_edges_are_inert(rng):
             np.asarray(o1), np.asarray(o2), atol=1e-5,
             err_msg=f"{type(layer).__name__} not mask-invariant",
         )
+
+
+def test_params_only_linear_matches_torch_linear():
+    """_TorchLinearParams (the single params-only declarator used by the
+    split/fused edge MLPs) draws BIT-IDENTICAL params to TorchLinear under
+    the same RNG — plain, split and fused paths share checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graphcast_lite_tpu.models.gnn import _TorchLinearParams
+    from graphcast_lite_tpu.models.nn import TorchLinear
+
+    key = jax.random.PRNGKey(11)
+    x = jnp.zeros((4, 24))
+    a = TorchLinear(16, name="lin_0").init(key, x)
+    b = _TorchLinearParams(24, 16, name="lin_0").init(key, x)
+    np.testing.assert_array_equal(
+        np.asarray(a["params"]["kernel"]), np.asarray(b["params"]["kernel"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["params"]["bias"]), np.asarray(b["params"]["bias"])
+    )
