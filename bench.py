@@ -22,12 +22,84 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_THROUGHPUT_512 = 2.69e5  # grid-points/s, derived above
+
+# Hardware ceilings for efficiency reporting (v5e defaults; override for a
+# different chip with GCLT_PEAK_TFLOPS / GCLT_HBM_GBPS).
+PEAK_TFLOPS = float(os.environ.get("GCLT_PEAK_TFLOPS", 197.0))   # bf16
+HBM_GBPS = float(os.environ.get("GCLT_HBM_GBPS", 819.0))
+
+
+def _sync(x):
+    """Force remote completion and return wall time of the fetch.
+
+    Over the axon tunnel ``block_until_ready`` is a NO-OP (measured: a
+    100-matmul chain 'completes' in 0.3 ms); only a host fetch actually
+    waits.  Also: the tunnel appears to cache executions with identical
+    args (the same matmul chain timed 2x faster when re-run on the same
+    inputs), so every timed call in this file feeds the previous output
+    forward — distinct, data-dependent args.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.float32(leaf.ravel()[0]))
+
+
+def analytic_cost(gs, cfg, dtype_bytes=2):
+    """(matmul FLOPs, minimum HBM bytes) for ONE forward model call.
+
+    FLOPs: every dense matmul of the flagship pipeline (MLPs, GCN xW,
+    InteractionNet edge/node MLPs; the aggregations are gather/adds and
+    contribute O(E·h) — included).  Bytes: a LOWER bound — each major edge/
+    node tensor read+written once per use with perfect fusion; real programs
+    move more, so roofline_pct ≤ 100 means "this much of the bandwidth-bound
+    minimum is achieved".
+    """
+    g, m = gs.num_grid_nodes, gs.num_mesh_nodes
+    e = gs.processing.padded_num_edges
+    h = cfg.pipeline.encoder.mlp.output_dim
+    f = cfg.data.num_features_used
+    obs = cfg.data.obs_window_used
+    mp = cfg.pipeline.processor.gcn.num_message_passing_steps or 12
+    enc_in = obs * f + 6
+    n = g + m
+
+    flops = 0.0
+    # encoder MLP (enc_in -> 2h -> h) on grid+mesh rows, then 2 GCN convs
+    flops += 2 * n * (enc_in * 2 * h + 2 * h * h)
+    flops += 2 * 2 * n * h * h
+    # processor: raw-edge encoder + mp interaction steps
+    flops += 2 * e * 4 * h
+    per_step = (
+        2 * (2 * m * h * h)        # edge MLP lin0 node projections
+        + 2 * e * h * h            # edge MLP lin0 edge-latent projection
+        + 2 * e * h * h            # edge MLP lin1
+        + 2 * m * (2 * h * h)      # node MLP lin0 ([x ‖ agg])
+        + 2 * m * h * h            # node MLP lin1
+        + 2 * e * h                # aggregation adds
+    )
+    flops += mp * per_step
+    # decoder MLP (h -> 2h -> h) + conv(h->h) + conv(h->f)
+    flops += 2 * n * (h * 2 * h + 2 * h * h)
+    flops += 2 * n * h * h + 2 * n * h * f
+
+    # minimum bytes: processor dominates — per step read+write the edge
+    # latents twice (MLP in/out, residual+LN) and the node latents, plus the
+    # sender-gather materialization; encoder/decoder each stream the node
+    # tensors a handful of times.
+    b = dtype_bytes
+    bytes_min = mp * (4 * e * h + 4 * m * h) * b
+    bytes_min += (6 * n * h + 2 * n * enc_in) * b   # encoder streams
+    bytes_min += 6 * n * h * b                      # decoder streams
+    return flops, bytes_min
 
 
 def build(config_name: str, dtype):
@@ -90,44 +162,85 @@ def build(config_name: str, dtype):
 
     import jax as _jax
     fn = _jax.jit(rollout)
-    return fn, params, x, graphs, g, ar
+    return fn, params, x, graphs, g, ar, gs, cfg, spec, model
 
 
 def bench_config(config_name: str, iters: int, dtype_name: str):
+    """AR-rollout timing, honest over the axon tunnel.
+
+    All `iters` executions are dispatched back-to-back with a data
+    dependency (the last prediction feeds the next window — distinct args,
+    see _sync) and completion is forced by ONE scalar fetch at the end, so
+    the per-rollout time is (true device execution) + RTT/iters.  The
+    RTT-inclusive single-dispatch serve latency is reported separately
+    (dispatch_ms)."""
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     t0 = time.time()
-    fn, params, x, graphs, g, ar = build(config_name, dtype)
+    (fn, params, x, graphs, g, ar, gs, cfg, spec,
+     model) = build(config_name, dtype)
     build_s = time.time() - t0
 
+    # First call + fetch = trace + XLA compile (the remote server compiles
+    # lazily at first execution; earlier "compile" timings that used
+    # block_until_ready under-reported this).
     t0 = time.time()
     out = fn(params, x, graphs)
-    out.block_until_ready()
+    _sync(out)
     compile_s = time.time() - t0
 
-    # Chain iterations through a data dependency (the last prediction feeds
-    # the next window) so async dispatch can't overlap what a real AR serve
-    # loop couldn't — honest steady-state timing, RTT amortized.
-    t0 = time.time()
-    window = x
-    for _ in range(iters):
-        out = fn(params, window, graphs)
-        window = jnp.concatenate(
+    def next_window(window, out):
+        return jnp.concatenate(
             [window[:, 1:, :], out[:, -1:, :].astype(window.dtype)], axis=1
         )
-    window.block_until_ready()
+
+    # Warm up the CHAINED input signature before timing: the device-produced
+    # window (slice+concat of the previous output) can carry a different
+    # layout than the host-fresh x, and the first such call recompiles the
+    # whole program (~60 s at 512x256, measured) — that must not land inside
+    # the timed loop.
+    window = next_window(x, out)
+    t0 = time.time()
+    out = fn(params, window, graphs)
+    window = next_window(window, out)
+    _sync(window)
+    rewarm_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(params, window, graphs)
+        window = next_window(window, out)
+    _sync(window)
     dt = (time.time() - t0) / iters
     points_per_s = g * ar / dt
+
+    # RTT-inclusive serve latency of one dispatch (executable warm).
+    t0 = time.time()
+    out = fn(params, window, graphs)
+    _sync(out)
+    dispatch_ms = (time.time() - t0) * 1e3
+
+    flops, bytes_min = analytic_cost(
+        gs, cfg, dtype_bytes=2 if dtype_name == "bf16" else 4
+    )
     return {
         "grid_points_per_s": points_per_s,
         "rollout_ms": dt * 1e3,
+        "dispatch_ms": round(dispatch_ms, 1),
         "grid_nodes": g,
         "ar_steps": ar,
         "build_s": round(build_s, 1),
         "compile_s": round(compile_s, 1),
+        "rewarm_s": round(rewarm_s, 1),
         "dtype": dtype_name,
         "iters": iters,
+        "mfu_pct": round(100 * ar * flops / dt / (PEAK_TFLOPS * 1e12), 2),
+        "hbm_roofline_pct": round(
+            100 * ar * bytes_min / dt / (HBM_GBPS * 1e9), 1
+        ),
+        "flops_per_call": flops,
+        "min_bytes_per_call": bytes_min,
     }
 
 
@@ -198,20 +311,34 @@ def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
 
     t0 = time.time()
     params, opt_state, loss = step(params, opt_state, x, y, graphs)
-    jax.block_until_ready(loss)
+    _sync(loss)
     compile_s = time.time() - t0
+    # Second call warms the DEVICE-PRODUCED (params, opt_state) input
+    # signature — its layout can differ from the host-fresh one and the
+    # first such call recompiles (see bench_config).
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    _sync(loss)
+    rewarm_s = time.time() - t0
+    # Data-dependent across iterations through (params, opt_state); one
+    # fetch at the end (block_until_ready is a no-op over the tunnel).
     t0 = time.time()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, x, y, graphs)
-    jax.block_until_ready(loss)
+    _sync(loss)
     dt = (time.time() - t0) / iters
+    # fwd + backward (≈2× fwd) + remat recompute (≈1× fwd) per AR step
+    flops_fwd, _ = analytic_cost(gs, cfg, dtype_bytes=2 if mixed else 4)
+    train_flops = 4.0 * ar * flops_fwd
     return {
         "train_step_ms": dt * 1e3,
         "train_grid_points_per_s": g * ar / dt,
         "compile_s": round(compile_s, 1),
+        "rewarm_s": round(rewarm_s, 1),
         "loss": float(loss),
         "grid_nodes": g,
         "ar_steps": ar,
+        "mfu_pct": round(100 * train_flops / dt / (PEAK_TFLOPS * 1e12), 2),
     }
 
 
@@ -231,16 +358,23 @@ def main():
     res_big = None
     if only in (None, "64x32"):
         try:
-            res_small = bench_config("64x32", iters=20, dtype_name="bf16")
+            # 30 back-to-back dispatches + one fetch: a lone 64x32 dispatch
+            # is tunnel-RTT-dominated (dispatch_ms reports that separately).
+            res_small = bench_config("64x32", iters=30, dtype_name="bf16")
             extra["64x32_bf16"] = res_small
         except Exception as e:  # keep the headline alive on partial failure
             extra["64x32_error"] = f"{type(e).__name__}: {e}"[:300]
     if only in (None, "512x256"):
         try:
-            res_big = bench_config("512x256", iters=5, dtype_name="bf16")
+            res_big = bench_config("512x256", iters=8, dtype_name="bf16")
             extra["512x256_bf16"] = res_big
         except Exception as e:
             extra["512x256_error"] = f"{type(e).__name__}: {e}"[:300]
+    if only is None:
+        try:
+            extra["512x256_train"] = bench_training("512x256")
+        except Exception as e:
+            extra["train_error"] = f"{type(e).__name__}: {e}"[:300]
     if res_small is None and res_big is None:
         print(json.dumps({
             "metric": "grid_points_per_s_per_chip_512x256_ar4",
