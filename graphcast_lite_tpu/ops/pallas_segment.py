@@ -62,7 +62,12 @@ __all__ = [
 
 DEFAULT_TILE_RECEIVERS = 256
 TILE_EDGES = 1024  # DMA chunk length; also the chunk-base alignment
-_N_BUF = 8         # in-flight DMA chunk slots
+_N_BUF = 8         # in-flight DMA chunk slots (shrunk for wide F, see below)
+# VMEM budget for the chunk scratch (slots × TE × F × itemsize).  ~16 MB/core
+# total VMEM; the out tile, one-hot build and hi/lo temporaries take the
+# rest.  Wide-F calls (the vmap fold) trade pipeline depth for width — each
+# chunk DMA is proportionally larger, so fewer slots still hide latency.
+_SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def build_tile_offsets(
@@ -157,6 +162,7 @@ def _kernel(
     sems,            # DMA semaphores [N_BUF, 2]
     *,
     tile_receivers: int,
+    n_buf: int,
 ):
     i = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -181,14 +187,14 @@ def _kernel(
     # Warmup: fill the pipeline once, at the first grid step.
     @pl.when(i == 0)
     def _():
-        for c in range(_N_BUF):
+        for c in range(n_buf):
             @pl.when(c < nc)
             def _(c=c):
                 d0, d1 = make_dma(c, c)
                 d0.start()
                 d1.start()
 
-    slot = i % _N_BUF
+    slot = i % n_buf
     d0, d1 = make_dma(slot, i)
     d0.wait()
     d1.wait()
@@ -233,11 +239,89 @@ def _kernel(
 
     # Refill this slot AFTER its data is consumed (a pre-consumption start
     # would race: chunk i+N_BUF shares slot i % N_BUF).
-    @pl.when(i + _N_BUF < nc)
+    @pl.when(i + n_buf < nc)
     def _():
-        d0, d1 = make_dma(slot, i + _N_BUF)
+        d0, d1 = make_dma(slot, i + n_buf)
         d0.start()
         d1.start()
+
+
+@functools.lru_cache(maxsize=None)
+def _vmappable_impl(num_receivers: int, tile_receivers: int,
+                    interpret: bool):
+    """The kernel impl with a custom batching rule (statics closed over).
+
+    ``pallas_call`` has no usable TPU vmap lowering for this kernel (ANY-
+    space operands reject the squeezed batch block), so ``vmap`` over the
+    batch axis of ``msgs`` is given an explicit rule: FOLD the batch into
+    the feature axis —
+
+        [B, E, F] -> [E, B·F] -> kernel -> [R, B·F] -> [B, R, F]
+
+    one kernel call, B× wider one-hot matmuls (better MXU amortization of
+    the one-hot build), same schedule.  Wide folds are grouped so the chunk
+    scratch stays inside the VMEM budget; a batch too wide to fold at all
+    falls back to a sequential ``lax.map``.  Batched graph structure
+    (receiver ids / schedule differing per sample) also falls back to
+    ``lax.map`` — the framework shares one static graph across a batch.
+
+    ``custom_vmap`` does not support reverse-mode AD, so this wraps only the
+    primal impl; differentiation is handled OUTSIDE by the public
+    ``segment_sum_sorted``\'s custom_vjp (vmap of a custom_vjp call batches
+    its fwd/bwd, which routes back through this rule).
+    """
+    from jax.custom_batching import custom_vmap
+
+    def call(msgs, recv1d, chunk_base, chunk_tile):
+        return _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
+                                 num_receivers, tile_receivers, interpret)
+
+    entry = custom_vmap(call)
+
+    @entry.def_vmap
+    def _rule(axis_size, in_batched, msgs, recv1d, chunk_base, chunk_tile):
+        b_msgs, b_recv, b_base, b_tile = in_batched
+        if b_recv or b_base or b_tile:
+            # per-sample graph structure: no fold possible
+            def one(args):
+                return call(*args)
+
+            bc = lambda x, b: x if b else jnp.broadcast_to(
+                x, (axis_size,) + x.shape
+            )
+            out = jax.lax.map(one, (
+                bc(msgs, b_msgs), bc(recv1d, b_recv),
+                bc(chunk_base, b_base), bc(chunk_tile, b_tile),
+            ))
+            return out, True
+
+        B = axis_size
+        e, f = msgs.shape[1], msgs.shape[2]
+        cap = _SCRATCH_BUDGET_BYTES // (
+            2 * TILE_EDGES * f * msgs.dtype.itemsize
+        )
+        group = 1
+        while group * 2 <= min(B, max(cap, 1)) and B % (group * 2) == 0:
+            group *= 2
+
+        def run_group(mg):                       # [group, E, F]
+            folded = jnp.moveaxis(mg, 0, 1).reshape(e, group * f)
+            o = call(folded, recv1d, chunk_base, chunk_tile)
+            return jnp.moveaxis(o.reshape(-1, group, f), 1, 0)
+
+        if group <= 1:
+            out = jax.lax.map(
+                lambda m: call(m, recv1d, chunk_base, chunk_tile), msgs
+            )
+        elif group == B:
+            out = run_group(msgs)
+        else:
+            out = jax.lax.map(
+                run_group, msgs.reshape(B // group, group, e, f)
+            ).reshape(B, -1, f)
+        return out, True
+
+    return entry
 
 
 @functools.partial(
@@ -255,18 +339,21 @@ def segment_sum_sorted(
     """out[r] = Σ_{e: recv[e]==r} msgs[e]; accumulation in float32; returns
     [num_receivers, F] in msgs.dtype.
 
-    Differentiable via custom VJP: the adjoint of a segment sum is a gather
-    of the cotangent by receiver id (padded edges read a valid row; their
-    gradient dies in the caller's mask multiply).
+    Differentiable (custom VJP: the adjoint of a segment sum is a gather of
+    the cotangent by receiver id; padded edges read a valid row and their
+    gradient dies in the caller\'s mask multiply) AND vmappable over msgs
+    (batch folded into the feature axis — see ``_vmappable_impl``).
     """
-    return _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
-                             num_receivers, tile_receivers, interpret)
+    return _vmappable_impl(int(num_receivers), int(tile_receivers),
+                           bool(interpret))(msgs, recv1d, chunk_base,
+                                            chunk_tile)
 
 
 def _segment_sum_fwd(msgs, recv1d, chunk_base, chunk_tile, num_receivers,
                      tile_receivers, interpret):
-    out = _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
-                            num_receivers, tile_receivers, interpret)
+    out = _vmappable_impl(int(num_receivers), int(tile_receivers),
+                          bool(interpret))(msgs, recv1d, chunk_base,
+                                           chunk_tile)
     return out, (recv1d,)
 
 
@@ -297,6 +384,9 @@ def _segment_sum_impl(
     ntiles = (num_receivers + tr - 1) // tr
     r_pad = ntiles * tr
     nc = chunk_base.shape[0]
+    n_buf = int(np.clip(
+        _SCRATCH_BUDGET_BYTES // (te * f * msgs.dtype.itemsize), 2, _N_BUF
+    ))
 
     # Extend the edge arrays so any chunk DMA stays in bounds; extension
     # rows carry receiver id -1 (never matches a tile).
@@ -318,12 +408,12 @@ def _segment_sum_impl(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((_N_BUF, te, f), msgs.dtype),
-            pltpu.VMEM((_N_BUF, 1, te), jnp.int32),
-            pltpu.SemaphoreType.DMA((_N_BUF, 2)),
+            pltpu.VMEM((n_buf, te, f), msgs.dtype),
+            pltpu.VMEM((n_buf, 1, te), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf, 2)),
         ],
     )
-    kernel = functools.partial(_kernel, tile_receivers=tr)
+    kernel = functools.partial(_kernel, tile_receivers=tr, n_buf=n_buf)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),

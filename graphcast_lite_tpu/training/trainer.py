@@ -243,20 +243,27 @@ class Trainer:
         )
 
     def _batched_apply(self, params, inp, mask, thr, prune: bool):
-        """Map the single-sample model over the batch; graphs shared.
+        """vmap the single-sample model over the batch; graphs shared.
 
-        Uses ``lax.map`` (sequential per-sample, body compiled once) rather
-        than vmap: a single sample already saturates the chip at these model
-        sizes, and the Pallas segment kernel has no batching rule.  Returns
-        (delta [B,G,C], mask') with mask' from sample 0 (pruning is a
-        batch-level decision, reference prunes on batch_num==0)."""
+        The Pallas segment kernel carries a custom batching rule (batch
+        folded into the feature axis — ``ops.pallas_segment``), so the whole
+        model vmaps; XLA then batches every dense matmul instead of
+        replaying the program per sample (the old ``lax.map`` path, kept
+        under GCLT_BATCH_VMAP=0).  Returns (delta [B,G,C], mask') with
+        mask' from sample 0 (pruning is a batch-level decision, reference
+        prunes on batch_num==0)."""
         def single(x):
             return self.model.apply(params, x, self.graphs, mask, thr, prune)
 
         if inp.shape[0] == 1:
             out, new_mask = single(inp[0])
             return out[None], new_mask
-        out, masks = jax.lax.map(single, inp)
+        import os
+
+        if os.environ.get("GCLT_BATCH_VMAP", "1") in ("0", "false", "off"):
+            out, masks = jax.lax.map(single, inp)
+        else:
+            out, masks = jax.vmap(single)(inp)
         new_mask = None
         if masks is not None:
             new_mask = jax.tree.map(lambda m: m[0], masks)

@@ -92,3 +92,47 @@ def test_aggregate_sum_pallas_flag_round_trip(rng, monkeypatch):
         )),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("b", [2, 3, 4, 8])
+def test_vmap_batching_rule(rng, b):
+    """vmap over the batch axis folds into the feature axis (or falls back
+    to lax.map for odd batches); fwd and grad must match per-sample calls
+    EXACTLY (the fold reshapes, it does not re-associate sums)."""
+    e, r, f = 4096, 512, 128
+    m, r1 = make_case(rng, e, r, f)
+    base, tile = build_schedule(r1, r, 256)
+    args = (jnp.asarray(r1), jnp.asarray(base), jnp.asarray(tile))
+
+    def one(msgs):
+        return segment_sum_sorted(msgs, *args, r, 256, True)
+
+    msgs = jnp.asarray(rng.randn(b, m.shape[0], f).astype(np.float32))
+    out = jax.vmap(one)(msgs)
+    ref = np.stack([np.asarray(one(msgs[i])) for i in range(b)])
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    g = jax.grad(lambda x: (jax.vmap(one)(x) ** 2).sum())(msgs)
+    gref = np.stack([
+        np.asarray(jax.grad(lambda x: (one(x) ** 2).sum())(msgs[i]))
+        for i in range(b)
+    ])
+    np.testing.assert_array_equal(np.asarray(g), gref)
+
+
+def test_vmap_grouping_respects_vmem_budget():
+    """Wide folds split into groups: B=8 x F=512 f32 exceeds the scratch
+    budget for a single fold, so the rule must group (and still be exact)."""
+    rng = np.random.RandomState(3)
+    e, r, f, b = 2048, 256, 512, 8
+    m, r1 = make_case(rng, e, r, f)
+    base, tile = build_schedule(r1, r, 256)
+    args = (jnp.asarray(r1), jnp.asarray(base), jnp.asarray(tile))
+
+    def one(msgs):
+        return segment_sum_sorted(msgs, *args, r, 256, True)
+
+    msgs = jnp.asarray(rng.randn(b, m.shape[0], f).astype(np.float32))
+    out = jax.vmap(one)(msgs)
+    ref = np.stack([np.asarray(one(msgs[i])) for i in range(b)])
+    np.testing.assert_array_equal(np.asarray(out), ref)

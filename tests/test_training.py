@@ -202,3 +202,45 @@ def test_mixed_precision_training(tmp_path):
     import jax
     assert all(p.dtype == np.float32 or p.dtype == np.int32
                for p in jax.tree.leaves(trainer.final_state.params))
+
+
+def test_batch4_vmap_matches_batch1_accumulation(tmp_path):
+    """Batch=4 training (vmapped model; the Pallas kernel's batching rule
+    folds batch into features) must produce the same loss as averaging the
+    four per-sample (batch=1) losses, and the same loss as the sequential
+    lax.map path (VERDICT r1 item 8)."""
+    import os as _os
+
+    cfg, model, graphs, train_ds, _, _, meta = small_experiment(
+        tmp_path, processor_type=GraphLayerType.InteractionNet
+    )
+    trainer = Trainer(model, graphs, cfg, meta, str(tmp_path / "r"))
+
+    xs, ys = zip(*[train_ds.get(i) for i in range(4)])
+    x4 = np.stack(xs).astype(np.float32)
+    y4 = np.stack(ys).astype(np.float32)
+
+    def step_loss(x, y):
+        # fresh state each call: the jitted step donates its state argument
+        state = trainer.init_state(seed=0)
+        _, loss = trainer.train_step(
+            state, x, y, steps=cfg.max_ar_steps, thr=0.0, prune=False,
+            freeze_processor=False,
+        )
+        return float(loss)
+
+    loss_b4 = step_loss(x4, y4)
+    per_sample = [step_loss(x4[i:i + 1], y4[i:i + 1]) for i in range(4)]
+    np.testing.assert_allclose(loss_b4, np.mean(per_sample), rtol=2e-5)
+
+    _os.environ["GCLT_BATCH_VMAP"] = "0"
+    try:
+        trainer_seq = Trainer(model, graphs, cfg, meta, str(tmp_path / "r2"))
+        state = trainer_seq.init_state(seed=0)
+        _, loss_seq = trainer_seq.train_step(
+            state, x4, y4, steps=cfg.max_ar_steps, thr=0.0, prune=False,
+            freeze_processor=False,
+        )
+        np.testing.assert_allclose(loss_b4, float(loss_seq), rtol=1e-6)
+    finally:
+        del _os.environ["GCLT_BATCH_VMAP"]
