@@ -65,7 +65,10 @@ def analytic_cost(gs, cfg, dtype_bytes=2):
     """
     g, m = gs.num_grid_nodes, gs.num_mesh_nodes
     e = gs.processing.padded_num_edges
-    h = cfg.pipeline.encoder.mlp.output_dim
+    # A cost-model failure must not discard completed timings: fall back to
+    # the GCN block's output_dim when there is no encoder MLP.
+    enc = cfg.pipeline.encoder
+    h = enc.mlp.output_dim if enc.mlp is not None else int(enc.gcn.output_dim)
     f = cfg.data.num_features_used
     obs = cfg.data.obs_window_used
     mp = cfg.pipeline.processor.gcn.num_message_passing_steps or 12
@@ -286,6 +289,13 @@ def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
     opt_state = opt.init(params)
 
     cdtype = jnp.bfloat16 if mixed else jnp.float32
+    if mixed:
+        # graphs must be cast too: f32 grid_static/edge_attr otherwise
+        # promote the whole forward back to fp32 (measured 2709 -> 1959 ms)
+        graphs = jax.tree.map(
+            lambda a: a.astype(cdtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, graphs
+        )
 
     def loss_fn(params, window, targets, graphs):
         params_c = jax.tree.map(

@@ -227,6 +227,11 @@ def main(argv=None):
         "+lapse": {"postprocess": lapse_pp},
         "+mos": {"postprocess": mos_pp},
         "+idw": {"postprocess": idw_pp},
+        # mos_pp is deliberately omitted from the stack: the IDW field is
+        # built from the station-level MOS corrections, so it already carries
+        # the full station bias — stacking mos_pp on top would double-correct
+        # station nodes.  The rung name mirrors the reference's ladder label
+        # (scripts/evaluate_full_pipeline.py:416-422).
         "+lapse+mos+idw": {"postprocess": stack_pp(lapse_pp, idw_pp)},
     }
 

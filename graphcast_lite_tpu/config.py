@@ -69,9 +69,11 @@ class GraphBuildingConfig(BaseModel):
 class MLPBlock(BaseModel):
     mlp_hidden_dims: Optional[List[int]] = None
     output_dim: int
-    # Defaulted like the rest of the layered-defaults policy (reference
-    # src/config.py:106-122 reads it with getattr defaults; demo_low's
-    # config.json even misspells the key and relies on the default).
+    # In the reference this is a REQUIRED pydantic field (src/config.py:113,
+    # no default — demo_low's misspelled `use_layzer_norm` would fail its
+    # validation).  We default it False for ergonomics and normalize the
+    # known `use_layzer_norm` typo during ingestion (load_experiment_config)
+    # so that config's clear intent (LN on) is honored.
     use_layer_norm: bool = False
     layer_norm_mode: Optional[str] = None
 
@@ -236,6 +238,21 @@ def load_experiment_config(path: str):
     with open(path) as f:
         raw = json.load(f)
     raw.pop("wandb_key", None)  # never carry credentials forward
+    _normalize_typos(raw)
     if is_grid_config(raw):
         return GridExperimentConfig(**raw)
     return ExperimentConfig(**raw)
+
+
+def _normalize_typos(node) -> None:
+    """Fix known key typos from reference experiment files in place
+    (demo_low/config.json writes `use_layzer_norm: true`; silently
+    defaulting LN off would change that model's architecture)."""
+    if isinstance(node, dict):
+        if "use_layzer_norm" in node and "use_layer_norm" not in node:
+            node["use_layer_norm"] = node.pop("use_layzer_norm")
+        for v in node.values():
+            _normalize_typos(v)
+    elif isinstance(node, list):
+        for v in node:
+            _normalize_typos(v)

@@ -162,8 +162,17 @@ def shard_graph_bipartite(
     receivers = np.asarray(graph.receivers)[: graph.num_edges] - recv_offset
     attr = (np.asarray(graph.edge_attr)[: graph.num_edges]
             if graph.edge_attr is not None else None)
-    assert senders.min() >= 0 and senders.max() < sender_part.num_nodes
-    assert receivers.min() >= 0 and receivers.max() < recv_part.num_nodes
+    if graph.num_edges:  # .min() on a zero-edge graph raises an opaque error
+        if senders.min() < 0 or senders.max() >= sender_part.num_nodes:
+            raise ValueError(
+                f"sender ids out of range [0, {sender_part.num_nodes}) after "
+                f"offset {sender_offset}: [{senders.min()}, {senders.max()}]"
+            )
+        if receivers.min() < 0 or receivers.max() >= recv_part.num_nodes:
+            raise ValueError(
+                f"receiver ids out of range [0, {recv_part.num_nodes}) after "
+                f"offset {recv_offset}: [{receivers.min()}, {receivers.max()}]"
+            )
 
     num_shards = recv_part.num_shards
     n_s = recv_part.nodes_per_shard

@@ -489,9 +489,25 @@ class InteractionNetProcessor(nn.Module):
         # remat each scanned step: backward recomputes one step's edge/node
         # activations at a time instead of saving all N (at 512x256 the
         # saved intermediates alone exceed HBM ~7x); only the (x, e) carries
-        # are kept.
+        # are kept.  GCLT_SCAN_REMAT selects the policy (trace-time):
+        #   full (default) — save carries only, recompute everything;
+        #   dots — save matmul outputs, recompute elementwise/gather work
+        #          (jax.checkpoint_policies.dots_with_no_batch_dims_saveable);
+        #   none — no inner remat (rely on the outer AR-step checkpoint).
+        import os as _os
+
+        _mode = _os.environ.get("GCLT_SCAN_REMAT", "full").lower()
+        if _mode == "none":
+            body = _ScannedINStep
+        elif _mode == "dots":
+            body = nn.remat(
+                _ScannedINStep, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = nn.remat(_ScannedINStep, prevent_cse=False)
         scanned = nn.scan(
-            nn.remat(_ScannedINStep, prevent_cse=False),
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,

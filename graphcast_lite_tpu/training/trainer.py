@@ -187,6 +187,7 @@ class Trainer:
         self.extra_loss_fn = extra_loss_fn
         self._train_step_cache: Dict[Tuple, Callable] = {}
         self._eval_step_cache: Optional[Callable] = None
+        self._graphs_cast_cache: Optional[ModelGraphs] = None
 
         # ---- integrated multi-chip path (parallel/sharded_model) ------------
         self.mesh = mesh
@@ -210,6 +211,12 @@ class Trainer:
             if extra_loss_fn is not None:
                 raise NotImplementedError(
                     "extra_loss_fn is not supported on the sharded path"
+                )
+            data_ax = int(mesh.devices.shape[0])
+            if config.batch_size % data_ax != 0:
+                raise ValueError(
+                    f"config.batch_size ({config.batch_size}) must be "
+                    f"divisible by the data-parallel mesh axis ({data_ax})"
                 )
             n_space = int(mesh.devices.shape[-1])
             self._plan = build_sharding_plan(graph_set, n_space)
@@ -242,7 +249,24 @@ class Trainer:
             edge_mask=mask,
         )
 
-    def _batched_apply(self, params, inp, mask, thr, prune: bool):
+    def _graphs_for(self, dtype) -> ModelGraphs:
+        """Graph bundle with float leaves in the compute dtype.
+
+        Without this, f32 ``grid_static``/``edge_attr`` promote the
+        encoder/processor back to fp32 under mixed precision (measured
+        2709 -> 1959 ms per 512x256 train step when fixed)."""
+        if dtype == jnp.float32:
+            return self.graphs
+        if self._graphs_cast_cache is None:
+            self._graphs_cast_cache = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                self.graphs,
+            )
+        return self._graphs_cast_cache
+
+    def _batched_apply(self, params, inp, mask, thr, prune: bool,
+                       graphs: Optional[ModelGraphs] = None):
         """vmap the single-sample model over the batch; graphs shared.
 
         The Pallas segment kernel carries a custom batching rule (batch
@@ -252,8 +276,10 @@ class Trainer:
         under GCLT_BATCH_VMAP=0).  Returns (delta [B,G,C], mask') with
         mask' from sample 0 (pruning is a batch-level decision, reference
         prunes on batch_num==0)."""
+        graphs = self.graphs if graphs is None else graphs
+
         def single(x):
-            return self.model.apply(params, x, self.graphs, mask, thr, prune)
+            return self.model.apply(params, x, graphs, mask, thr, prune)
 
         if inp.shape[0] == 1:
             out, new_mask = single(inp[0])
@@ -276,6 +302,11 @@ class Trainer:
 
     def _make_train_step(self, steps: int, prune: bool, freeze_processor: bool):
         cdtype = self._compute_dtype
+        # Cast eagerly (outside the jit trace — a trace-time cast would leak
+        # tracers through the cache).  Graphs (static features, edge attrs,
+        # masks) must be cast too, or their f32 leaves promote the whole
+        # forward back to fp32.
+        graphs_c = self._graphs_for(cdtype)
 
         def loss_fn(params, window, targets, edge_mask, thr):
             # Mixed precision: bf16 compute against fp32 master params
@@ -289,8 +320,10 @@ class Trainer:
                 )
                 window = window.astype(cdtype)
                 targets = targets.astype(cdtype)
+                if edge_mask is not None:
+                    edge_mask = edge_mask.astype(cdtype)
             model_fn = lambda inp, m, t, p: self._batched_apply(
-                params_c, inp, m, t, p
+                params_c, inp, m, t, p, graphs=graphs_c
             )
             loss, new_mask = rollout_loss(
                 model_fn,
@@ -306,6 +339,10 @@ class Trainer:
                 self.spatial_mask,
                 extra_loss_fn=self.extra_loss_fn,
             )
+            if new_mask is not None:
+                # keep the pruning state f32 across steps (stable jit
+                # signature; 0/1 values are exact either way)
+                new_mask = new_mask.astype(jnp.float32)
             return loss.astype(jnp.float32), new_mask
 
         def step(state: TrainState, x, y, thr):

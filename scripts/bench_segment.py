@@ -1,9 +1,10 @@
-"""Microbench: Pallas sorted-segment-sum kernel vs XLA segment_sum on TPU.
+"""Microbench: segment-sum formulations at the 512x256 processor shape.
 
-Shapes model the 512x256 flagship processor workload (multimesh [4,6]:
-~287K directed edges into 40,962 mesh nodes, feature dim 256).
-
-Usage: python scripts/bench_segment.py [E] [R] [F] [dtype]
+Paths:
+  pallas  — ops.pallas_segment.segment_sum_sorted (one-hot MXU kernel)
+  xla     — jax.ops.segment_sum(indices_are_sorted=True)
+  ell     — dense [R, K] gather + einsum (K = max in-degree)
+Also times one full InteractionNetLayer step fwd for composition.
 """
 
 from __future__ import annotations
@@ -12,76 +13,118 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from graphcast_lite_tpu.ops.pallas_segment import (
-    build_schedule,
-    segment_sum_sorted,
-)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.float32(leaf.ravel()[0]))
 
 
 def main():
-    e = int(sys.argv[1]) if len(sys.argv) > 1 else 287_744
-    r = int(sys.argv[2]) if len(sys.argv) > 2 else 40_962
-    f = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-    dtype = jnp.bfloat16 if (len(sys.argv) > 4 and sys.argv[4] == "bf16") else jnp.float32
+    import jax
+    import jax.numpy as jnp
+
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.ops.pallas_segment import segment_sum_sorted
+
+    cfgname = sys.argv[1] if len(sys.argv) > 1 else "512x256"
+    if cfgname == "64x32":
+        cfg = presets.interaction_net_64x32()
+        lat, lon = presets.wb2_64x32_grid()
+    else:
+        cfg = presets.interaction_net_512x256()
+        lat, lon = presets.wb2_512x256_grid()
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    g = gs.processing
+    e_pad, r = g.padded_num_edges, g.num_receivers
+    f = 256
+    print(f"proc: E_pad={e_pad} R={r} F={f} "
+          f"n_chunks={int(g.seg_chunk_base.shape[0])} ELL_K={g.neigh_senders.shape[1]}")
 
     rng = np.random.RandomState(0)
-    recv = np.sort(rng.randint(0, r, size=e)).astype(np.int32)
-    msgs = rng.randn(e, f).astype(np.float32)
-    base, tile = build_schedule(recv, r)
-    print(f"E={e} R={r} F={f} nchunks={len(base)} "
-          f"dtype={np.dtype(jnp.dtype(dtype)).name}")
+    msgs = jnp.asarray(rng.randn(e_pad, f).astype(np.float32),
+                       dtype=jnp.bfloat16)
+    iters = 30
 
-    msgs_d = jnp.asarray(msgs, dtype=dtype)
-    recv_d = jnp.asarray(recv)
-    base_d, tile_d = jnp.asarray(base), jnp.asarray(tile)
-
-    iters = 50
-
-    def kernel_once(m):
-        return segment_sum_sorted(m, recv_d, base_d, tile_d, r)
-
-    def xla_once(m):
-        return jax.ops.segment_sum(
-            m, recv_d, num_segments=r, indices_are_sorted=True
-        )
-
-    def looped(once):
-        # iters dependent applications inside ONE dispatch (the output is
-        # scattered back over the edge rows via tiling) so tunnel RTT and
-        # per-call overhead are amortized out of the measurement.
-        @jax.jit
-        def fn(m):
-            def body(_, m):
-                out = once(m)
-                return jax.lax.dynamic_update_slice(
-                    m, out[: min(r, e)].astype(m.dtype), (0, 0)
-                )
-            return jax.lax.fori_loop(0, iters, body, m)
-        return fn
-
-    ref = np.zeros((r, f), np.float32)
-    np.add.at(ref, recv, msgs)
-
-    for name, once in [("pallas", kernel_once), ("xla", xla_once)]:
-        out = jax.jit(once)(msgs_d)
-        out.block_until_ready()
-        err = float(np.abs(np.asarray(out, np.float32) - ref).max())
-        fn = looped(once)
-        o = fn(msgs_d)
-        o.block_until_ready()
+    def timeit(fn, x):
+        out = fn(x)
+        _sync(out)       # compile
+        out = fn(x + out[:1, :1].reshape(()).astype(x.dtype) * 0)
+        _sync(out)
         t0 = time.time()
-        o = fn(msgs_d)
-        o.block_until_ready()
-        dt = (time.time() - t0) / iters
-        gb = e * f * jnp.dtype(dtype).itemsize / 1e9
-        print(f"{name:7s} {dt*1e3:8.3f} ms   {gb/dt:7.1f} GB/s edge-stream"
-              f"   max|err|={err:.3e}")
+        for _ in range(iters):
+            x = x + out[:1, :1].reshape(()).astype(x.dtype) * 1e-12
+            out = fn(x)
+        _sync(out)
+        return (time.time() - t0) / iters * 1e3
+
+    bytes_moved = e_pad * f * 2 + r * f * 2
+    # pallas kernel
+    pal = jax.jit(lambda m: segment_sum_sorted(
+        m, g.receivers, g.seg_chunk_base, g.seg_chunk_tile, r,
+        g.seg_tile_receivers))
+    ms = timeit(pal, msgs)
+    print(f"pallas: {ms:.3f} ms  ({bytes_moved / ms / 1e6:.0f} GB/s eff)")
+
+    # xla segment_sum
+    xla = jax.jit(lambda m: jax.ops.segment_sum(
+        m, g.receivers, num_segments=r, indices_are_sorted=True))
+    ms = timeit(xla, msgs)
+    print(f"xla:    {ms:.3f} ms  ({bytes_moved / ms / 1e6:.0f} GB/s eff)")
+
+    # ELL: gather msgs by neigh_edge then masked sum over K
+    ne = g.neigh_edge
+    nm = g.neigh_mask.astype(jnp.bfloat16)
+    rr, k = ne.shape
+
+    def ell(m):
+        rows = jnp.take(m, ne.reshape(-1), axis=0).reshape(rr, k, f)
+        return jnp.einsum("rkf,rk->rf", rows, nm)
+
+    ms = timeit(jax.jit(ell), msgs)
+    ell_bytes = rr * k * f * 2 + r * f * 2
+    print(f"ell:    {ms:.3f} ms  ({ell_bytes / ms / 1e6:.0f} GB/s eff, "
+          f"{ell_bytes/1e6:.0f} MB)")
+
+    # one InteractionNetLayer fwd for composition
+    from graphcast_lite_tpu.models.gnn import InteractionNetLayer
+
+    layer = InteractionNetLayer(node_dim=f, edge_dim=f, hidden_dim=f,
+                                activation="swish", use_layer_norm=True)
+    x = jnp.asarray(rng.randn(r, f).astype(np.float32), dtype=jnp.bfloat16)
+    e_attr = jnp.asarray(rng.randn(e_pad, f).astype(np.float32),
+                         dtype=jnp.bfloat16)
+    params = jax.jit(layer.init)(jax.random.PRNGKey(0), x, e_attr, g)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16)
+                          if p.dtype == jnp.float32 else p, params)
+
+    def step(xe):
+        xx, ee = xe
+        return layer.apply(params, xx, ee, g)
+
+    def feed(xe, out):
+        return (out[0].astype(jnp.bfloat16), out[1].astype(jnp.bfloat16))
+
+    out = jax.jit(step)((x, e_attr))
+    _sync(out)
+    arg = feed(None, out)
+    out = jax.jit(step)(arg)
+    _sync(out)
+    t0 = time.time()
+    arg = feed(None, out)
+    for _ in range(12):
+        out = jax.jit(step)(arg)
+        arg = feed(None, out)
+    _sync(out)
+    print(f"inet_layer_fwd: {(time.time() - t0) / 12 * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
