@@ -66,6 +66,7 @@ __all__ = [
     "make_sharded_forward",
     "make_sharded_train_step",
     "make_sharded_eval_step",
+    "predict_scaling_efficiency",
 ]
 
 _AXIS = "space"
@@ -155,6 +156,68 @@ def build_sharding_plan(
         dec_halos=halos["dec"],
         comm_stats=stats,
     )
+
+
+def predict_scaling_efficiency(
+    plan: ShardingPlan,
+    t1_step_ms: float,
+    hidden: int = 256,
+    ar_steps: int = 4,
+    mp_steps: int = 12,
+    ici_gbps: float = 45.0,
+    dtype_bytes: int = 2,
+) -> Dict[str, float]:
+    """Analytic worst-case (zero-overlap) scaling-efficiency estimate.
+
+    The north-star metric (BASELINE.json) is grid-points/s scaling
+    efficiency at S chips vs 1.  Model:
+
+      compute_ms  = t1_step_ms / S          (work splits evenly: the node
+                                             partitions are count-balanced)
+      comm_ms     = Σ_graph  exchanges × rows/exchange × hidden × b / ICI
+      efficiency  = compute / (compute + comm)
+
+    Exchange counts per train step: the processor halo runs every MP step,
+    fwd + its transpose in bwd (the outer AR remat replays fwd once more):
+    3 × mp × ar; encoder/decoder halos run once per model call: 3 × ar.
+    ``rows`` below are already whole-mesh totals per exchange
+    (``BandedHalos.rows_exchanged_per_step``), and ICI here is per-link
+    bandwidth with all S links active concurrently on a ring — so per-link
+    bytes = total_bytes / S for both ppermute (each link carries its slab)
+    and bidirectional-ring all_gather.
+
+    This is deliberately pessimistic: no compute/comm overlap, remat replay
+    counted, reality should land at or above the returned numbers.  Real
+    multi-chip wall-clock measurement supersedes this when hardware is
+    available (the driver environment exposes one chip).
+    """
+    s = plan.num_shards
+    if s <= 1:
+        return {"S": 1, "efficiency": 1.0, "compute_ms": t1_step_ms,
+                "comm_ms": 0.0}
+    per_exchange_rows = {
+        name: min(st["banded"], st["all_gather_baseline"])
+        for name, st in plan.comm_stats.items()
+    }
+    exchanges = {
+        "enc": 3 * ar_steps,
+        "dec": 3 * ar_steps,
+        "proc": 3 * ar_steps * mp_steps,
+    }
+    total_bytes = sum(
+        per_exchange_rows[g] * exchanges[g] * hidden * dtype_bytes
+        for g in ("enc", "proc", "dec")
+    )
+    comm_ms = total_bytes / s / (ici_gbps * 1e9) * 1e3
+    compute_ms = t1_step_ms / s
+    eff = compute_ms / (compute_ms + comm_ms)
+    return {
+        "S": s,
+        "efficiency": round(eff, 4),
+        "compute_ms": round(compute_ms, 2),
+        "comm_ms": round(comm_ms, 2),
+        "comm_bytes_per_step": int(total_bytes),
+    }
 
 
 # --------------------------------------------------------------------------

