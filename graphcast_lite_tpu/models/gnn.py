@@ -486,17 +486,19 @@ class InteractionNetProcessor(nn.Module):
         act = resolve_activation(self.activation)
         e = PReLU(name="edge_encoder_act")(e) if act is None else act(e)
 
-        # remat each scanned step: backward recomputes one step's edge/node
-        # activations at a time instead of saving all N (at 512x256 the
-        # saved intermediates alone exceed HBM ~7x); only the (x, e) carries
-        # are kept.  GCLT_SCAN_REMAT selects the policy (trace-time):
-        #   full (default) — save carries only, recompute everything;
-        #   dots — save matmul outputs, recompute elementwise/gather work
-        #          (jax.checkpoint_policies.dots_with_no_batch_dims_saveable);
-        #   none — no inner remat (rely on the outer AR-step checkpoint).
+        # GCLT_SCAN_REMAT selects the scan-step remat policy (trace-time):
+        #   none (default) — no inner remat: the trainers' OUTER AR-step
+        #          checkpoint already bounds live memory to one AR step, and
+        #          double remat recomputes each step's forward twice
+        #          (measured 1959 -> 1441 ms per 512x256 train step);
+        #   dots — save matmul outputs, recompute elementwise/gather work;
+        #   full — save only the (x, e) carries, recompute everything
+        #          (lowest memory: use for large batch x 512x256 BPTT where
+        #          one AR step's saved intermediates, ~0.5 GB x num_steps x
+        #          batch, would not fit).
         import os as _os
 
-        _mode = _os.environ.get("GCLT_SCAN_REMAT", "full").lower()
+        _mode = _os.environ.get("GCLT_SCAN_REMAT", "none").lower()
         if _mode == "none":
             body = _ScannedINStep
         elif _mode == "dots":

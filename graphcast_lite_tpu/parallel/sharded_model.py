@@ -750,13 +750,16 @@ def make_sharded_eval_step(
     chan_mask: Optional[jnp.ndarray] = None,
     exclude_channels: Tuple[int, ...] = (),
 ) -> Callable:
-    """Jitted ``eval(params, x_sh, y_sh, arrs) -> (loss, acc, raw_rmse)``
-    on the first rollout step (mirrors Trainer._make_eval_step).
+    """Jitted ``eval(params, x_sh, y_sh, sample_mask, arrs) ->
+    (loss, acc, raw_rmse)`` on the first rollout step (mirrors
+    Trainer._make_eval_step).
 
-    The batch is REPLICATED over the data axis (in_spec ``P(None, "space")``)
-    so eval works for any batch size, including the last partial batch and
-    batch 1; eval compute is duplicated data-axis× (eval is a small fraction
-    of an epoch)."""
+    The batch is SHARDED over the data axis (``P("data", "space")``) so each
+    data row computes 1/data of the samples (round-2 eval replicated the
+    batch and wasted (data-1)/data of the chips).  Partial batches are
+    handled by zero-padding to a multiple of the data axis and passing
+    ``sample_mask`` [B_pad] (1 for real samples): all reductions weight by
+    it, so results are independent of padding."""
     obs, nf = spec.obs_window, spec.num_features
     axes = tuple(mesh.axis_names)
     assert axes == ("data", "space"), (
@@ -771,11 +774,13 @@ def make_sharded_eval_step(
         [i for i in range(nf) if i not in set(exclude_channels)], np.int32
     )
 
-    def body(params, x, y, arrs):
+    def body(params, x, y, sample_mask, arrs):
         x = x[:, 0]
         y = y[:, 0]
-        al = _strip_shard_axis(arrs, pvary_data=False)
+        al = _strip_shard_axis(arrs)
         b_l, g_s = x.shape[0], x.shape[1]
+        sm = sample_mask                                # [b_l] local samples
+        n_samples = jnp.maximum(jax.lax.psum(sm.sum(), axes[0]), 1.0)
         window = x.reshape(b_l, g_s, obs, nf)
         targets = y.reshape(b_l, g_s, -1, nf)
         inp = window.reshape(b_l, g_s, obs * nf)
@@ -784,20 +789,23 @@ def make_sharded_eval_step(
         tgt = targets[:, :, 0, :]
         out = carry_forward(out, window[:, :, -1, :], tgt, spec)
 
-        w = _local_weights(al, chan_mask, nf)
-        num = jax.lax.psum((jnp.square(out - tgt) * w).sum(), space)
-        den = jnp.maximum(jax.lax.psum(w.sum() * b_l, space), 1e-12)
+        w = _local_weights(al, chan_mask, nf)           # [G_s, C]
+        wsm = sm[:, None, None] * w[None]               # [b_l, G_s, C]
+        num = jax.lax.psum((jnp.square(out - tgt) * wsm).sum(), axes)
+        den = jnp.maximum(jax.lax.psum(wsm.sum(), axes), 1e-12)
         loss = num / den
 
-        nm = al.grid_mask[None, :, None]               # [1, G_s, 1]
+        nm = al.grid_mask[None, :, None]                # [1, G_s, 1]
         n_nodes = jax.lax.psum(al.grid_mask.sum(), space)
-        rmse_num = jax.lax.psum((jnp.square(out - tgt) * nm).sum(), space)
+        nmsm = sm[:, None, None] * nm
+        rmse_num = jax.lax.psum((jnp.square(out - tgt) * nmsm).sum(), axes)
         rmse_den = jnp.maximum(
-            jax.lax.psum(al.grid_mask.sum() * b_l * nf, space), 1.0
+            jax.lax.psum(nmsm.sum() * nf, axes), 1.0
         )
         raw_rmse = jnp.sqrt(rmse_num / rmse_den)
 
-        # Masked spatial ACC (loss.anomaly_correlation semantics).
+        # Masked spatial ACC (loss.anomaly_correlation semantics): spatial
+        # moments psum over "space" per sample, sample mean over "data".
         def moments(v):
             mean = jax.lax.psum((v * nm).sum(axis=1), space) / n_nodes
             var = jax.lax.psum(
@@ -810,13 +818,14 @@ def make_sharded_eval_step(
         pn = (out - mp[:, None, :]) / (sp[:, None, :] + 1e-8)
         tn = (tgt - mt[:, None, :]) / (st[:, None, :] + 1e-8)
         acc_pf = jax.lax.psum((pn * tn * nm).sum(axis=1), space) / n_nodes
-        acc = acc_pf[:, keep].mean()
+        acc_per_sample = acc_pf[:, keep].mean(axis=1)   # [b_l]
+        acc = jax.lax.psum((acc_per_sample * sm).sum(), axes[0]) / n_samples
         return loss, acc, raw_rmse
 
     smap = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(None, space), P(None, space), P(space)),
+        in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space)),
         out_specs=(P(), P(), P()),
     )
     return jax.jit(smap)

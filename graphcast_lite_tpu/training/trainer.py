@@ -472,12 +472,25 @@ class Trainer:
                 self._sharded_fwd, self.spec, self.mesh,
                 chan_mask=self.chan_mask, exclude_channels=exclude,
             )
+        data_ax = int(self.mesh.devices.shape[0])
         losses, accs, rmses = [], [], []
         for x, y in loader:
+            x, y = np.asarray(x), np.asarray(y)
+            # Pad partial batches to a multiple of the data axis; padded
+            # samples carry mask 0 and do not affect any metric.
+            b = x.shape[0]
+            b_pad = ((b + data_ax - 1) // data_ax) * data_ax
+            mask = np.zeros(b_pad, np.float32)
+            mask[:b] = 1.0
+            if b_pad != b:
+                pad = ((0, b_pad - b),) + ((0, 0),) * (x.ndim - 1)
+                x = np.pad(x, pad)
+                y = np.pad(y, ((0, b_pad - b),) + ((0, 0),) * (y.ndim - 1))
             l, a, r = self._eval_step_cache(
                 state.params,
-                jnp.asarray(self._plan.scatter_grid(np.asarray(x))),
-                jnp.asarray(self._plan.scatter_grid(np.asarray(y))),
+                jnp.asarray(self._plan.scatter_grid(x)),
+                jnp.asarray(self._plan.scatter_grid(y)),
+                jnp.asarray(mask),
                 self._plan_arrays,
             )
             losses.append(float(l))

@@ -166,11 +166,25 @@ def test_eval_step_parity(setup):
     fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
     mesh = _mesh_2d(data=2)
     ev = make_sharded_eval_step(fwd, spec, mesh)
+    ones = jnp.ones(batch, jnp.float32)
     loss, acc, rmse = ev(params, jnp.asarray(plan.scatter_grid(x)),
-                         jnp.asarray(plan.scatter_grid(y)), arrs)
+                         jnp.asarray(plan.scatter_grid(y)), ones, arrs)
     assert abs(float(loss) - ref_loss) < 1e-5
     assert abs(float(rmse) - ref_rmse) < 1e-5
     assert -1.1 < float(acc) < 1.1
+
+    # Partial batch: pad sample 1 with garbage + mask 0 — metrics must match
+    # the batch-1 run exactly (padding-independence of the data sharding).
+    x1 = np.stack([x[0], 13.0 + 0 * x[1]])
+    y1 = np.stack([y[0], -7.0 + 0 * y[1]])
+    m1 = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    l1, a1, r1 = ev(params, jnp.asarray(plan.scatter_grid(x1)),
+                    jnp.asarray(plan.scatter_grid(y1)), m1, arrs)
+    out0 = out[:1]
+    tgt0 = tgt[:1]
+    assert abs(float(l1) - float(weighted_mse(out0, tgt0))) < 1e-5
+    assert abs(float(r1)
+               - float(jnp.sqrt(jnp.mean(jnp.square(out0 - tgt0))))) < 1e-5
 
 
 def test_gcn_processor_variant(setup):
