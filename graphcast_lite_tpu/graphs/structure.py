@@ -70,6 +70,14 @@ class Graph:
     neigh_senders: Optional[jnp.ndarray] = None
     neigh_edge: Optional[jnp.ndarray] = None
     neigh_mask: Optional[jnp.ndarray] = None
+    # Transpose ELL (per-SENDER outgoing-edge table, [N, K_out]): lets the
+    # backward scatter d_agg -> senders run as a dense gather when the
+    # out-degree is small and bounded (grid senders of the G2M encoder have
+    # out-degree <= 3; multimesh nodes <= 12).  ``t_neigh_recv`` is the
+    # receiver of each slot's edge, ``t_neigh_edge`` its COO edge id.
+    t_neigh_recv: Optional[jnp.ndarray] = None
+    t_neigh_edge: Optional[jnp.ndarray] = None
+    t_neigh_mask: Optional[jnp.ndarray] = None
     # Pallas segment-sum chunk schedule (TE-aligned edge base + owning
     # receiver tile of each chunk); None disables the kernel path.
     seg_chunk_base: Optional[jnp.ndarray] = None
@@ -166,6 +174,27 @@ def build_graph(
             neigh_edge = jnp.asarray(ne)
             neigh_mask = jnp.asarray(nm)
 
+    # Transpose ELL (outgoing edges per sender) for the backward scatter.
+    t_neigh_recv = t_neigh_edge = t_neigh_mask = None
+    if e > 0:
+        out_deg = np.bincount(s_sorted, minlength=num_nodes)
+        k_out = int(out_deg.max())
+        if 0 < k_out <= max_ell_degree:
+            order_s = np.argsort(s_sorted, kind="stable")
+            ss = s_sorted[order_s]
+            slot = np.arange(e) - np.concatenate(
+                [[0], np.cumsum(out_deg)[:-1]]
+            )[ss]
+            tr = np.zeros((num_nodes, k_out), dtype=np.int32)
+            te = np.zeros((num_nodes, k_out), dtype=np.int32)
+            tm = np.zeros((num_nodes, k_out), dtype=np.float32)
+            tr[ss, slot] = r_sorted[order_s]
+            te[ss, slot] = order_s.astype(np.int32)
+            tm[ss, slot] = 1.0
+            t_neigh_recv = jnp.asarray(tr)
+            t_neigh_edge = jnp.asarray(te)
+            t_neigh_mask = jnp.asarray(tm)
+
     from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS as _TR
     from ..ops.gather import build_gather_aux
 
@@ -182,6 +211,9 @@ def build_graph(
         neigh_senders=neigh_senders,
         neigh_edge=neigh_edge,
         neigh_mask=neigh_mask,
+        t_neigh_recv=t_neigh_recv,
+        t_neigh_edge=t_neigh_edge,
+        t_neigh_mask=t_neigh_mask,
         seg_chunk_base=jnp.asarray(seg_chunk_base),
         seg_chunk_tile=jnp.asarray(seg_chunk_tile),
         senders_aux=senders_aux,

@@ -93,7 +93,14 @@ class GCNConv(nn.Module):
         dinv = jax.lax.rsqrt(deg)
 
         norm = jnp.take(dinv, graph.senders) * jnp.take(dinv, graph.receivers)
-        if graph.has_ell:
+        from ..ops.gcn_agg import gcn_aggregate, supports_gcn_aggregate
+
+        if supports_gcn_aggregate(graph, self.features):
+            # Custom-VJP unit: fwd Pallas segment, bwd transpose-ELL dense
+            # gather (or sender-sorted Pallas) — replaces the unsorted XLA
+            # scatter adjoint that dominated the encoder/decoder backward.
+            agg = gcn_aggregate(xw, norm * mask.astype(norm.dtype), graph)
+        elif graph.has_ell:
             agg = ell_ops.aggregate_sum_ell(xw, graph, mask, edge_scale=norm)
         else:
             from ..ops.gather import gather_rows
