@@ -21,6 +21,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -218,6 +219,17 @@ def bench_config(config_name: str, iters: int, dtype_name: str):
     dt = (time.time() - t0) / iters
     points_per_s = g * ar / dt
 
+    # Compile-budget check: the remote axon server keeps a compile cache, so
+    # a previously-seen program compiles in seconds; a NEVER-seen one can
+    # take minutes (measured 815 s cold vs 73 s warm for the identical 64x32
+    # program).  Flag cold-cache compiles so they aren't read as a steady-
+    # state regression.
+    if compile_s > 120:
+        print(f"# WARN {config_name}: compile_s={compile_s:.0f}s exceeds "
+              "the 120s budget — likely a cold remote-compile-cache (first "
+              "build of this program); a re-run compiles from cache",
+              file=sys.stderr)
+
     # RTT-inclusive serve latency of one dispatch (executable warm).
     t0 = time.time()
     out = fn(params, window, graphs)
@@ -312,12 +324,30 @@ def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
         )
         return loss.astype(jnp.float32)
 
-    @jax.jit
+    # donate (params, opt_state) exactly like the Trainer does — without it
+    # the step keeps two copies of the optimizer state live (~140 MB, enough
+    # to OOM the 15.7G budget at 512x256 with scan_remat=none)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y, graphs):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, graphs)
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    # Per-phase breakdown: forward-only loss timed separately; bwd+opt is
+    # the remainder (the optimizer itself is ~free: 5.9M-param Adam).
+    @jax.jit
+    def jloss(params, x, y, graphs):
+        return loss_fn(params, x, y, graphs)
+
+    l0 = jloss(params, x, y, graphs)
+    _sync(l0)
+    t0 = time.time()
+    lx = x
+    for _ in range(iters):
+        lx = lx + 1e-12 * _last_loss_bump(jloss(params, lx, y, graphs), lx)
+    _sync(lx)
+    fwd_ms = (time.time() - t0) / iters * 1e3
 
     t0 = time.time()
     params, opt_state, loss = step(params, opt_state, x, y, graphs)
@@ -343,12 +373,93 @@ def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
     return {
         "train_step_ms": dt * 1e3,
         "train_grid_points_per_s": g * ar / dt,
+        "fwd_ms": round(fwd_ms, 1),
+        "bwd_opt_ms": round(dt * 1e3 - fwd_ms, 1),
         "compile_s": round(compile_s, 1),
         "rewarm_s": round(rewarm_s, 1),
         "loss": float(loss),
         "grid_nodes": g,
         "ar_steps": ar,
         "mfu_pct": round(100 * train_flops / dt / (PEAK_TFLOPS * 1e12), 2),
+    }
+
+
+def _last_loss_bump(loss, like):
+    import jax.numpy as jnp
+
+    return jnp.asarray(loss, like.dtype)
+
+
+def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
+    """S=1 sharded-path overhead: the SAME flagship train step through
+    ``parallel.sharded_model.make_sharded_train_step`` on a (1, 1) mesh on
+    the single real chip, vs the unsharded ``bench_training`` step.  This
+    bounds the pure sharding-machinery overhead (shard_map, halo indexing,
+    psum with one participant) with zero communication."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.parallel.sharded_model import (
+        ShardedWeatherForward, build_sharding_plan, make_sharded_train_step,
+        plan_device_arrays,
+    )
+    from graphcast_lite_tpu.models.weather import ModelGraphs, WeatherModel
+    from graphcast_lite_tpu.training.rollout import RolloutSpec
+
+    if config_name == "64x32":
+        cfg = presets.interaction_net_64x32()
+        lat, lon = presets.wb2_64x32_grid()
+    else:
+        cfg = presets.interaction_net_512x256()
+        lat, lon = presets.wb2_512x256_grid()
+    n_feat, obs, ar = (cfg.data.num_features_used, cfg.data.obs_window_used,
+                       cfg.max_ar_steps)
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(pipeline=cfg.pipeline, data=cfg.data,
+                         num_grid_nodes=gs.num_grid_nodes,
+                         num_mesh_nodes=gs.num_mesh_nodes)
+    g = gs.num_grid_nodes
+    spec = RolloutSpec(obs_window=obs, num_features=n_feat,
+                       use_residual=True, remat=True)
+    rng = np.random.RandomState(0)
+    x0 = jnp.zeros((g, obs * n_feat), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, graphs)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "space"))
+    plan = build_sharding_plan(gs, 1)
+    arrs = plan_device_arrays(plan, gs)
+    step = make_sharded_train_step(fwd=ShardedWeatherForward(
+        cfg.pipeline, cfg.data, 1), spec=spec, mesh=mesh, optimizer=opt,
+        steps=ar, compute_dtype=jnp.bfloat16)
+    x = jnp.asarray(plan.scatter_grid(
+        rng.randn(1, g, obs * n_feat).astype(np.float32)))
+    y = jnp.asarray(plan.scatter_grid(
+        rng.randn(1, g, ar * n_feat).astype(np.float32)))
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, x, y, arrs)
+    _sync(loss)
+    compile_s = time.time() - t0
+    params, opt_state, loss = step(params, opt_state, x, y, arrs)
+    _sync(loss)
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, x, y, arrs)
+    _sync(loss)
+    dt = (time.time() - t0) / iters
+    return {
+        "sharded_s1_step_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": float(loss),
     }
 
 
@@ -361,6 +472,15 @@ def main():
             "metric": f"train_grid_points_per_s_per_chip_{cfgname}_ar4",
             "value": round(res["train_grid_points_per_s"], 1),
             "unit": "grid-points/s", "vs_baseline": 0.0, "extra": res,
+        }))
+        return
+    if only == "sharded":
+        cfgname = sys.argv[2] if len(sys.argv) > 2 else "512x256"
+        res = bench_training_sharded(cfgname)
+        print(json.dumps({
+            "metric": f"sharded_s1_step_ms_{cfgname}", "value":
+            res["sharded_s1_step_ms"], "unit": "ms", "vs_baseline": 0.0,
+            "extra": res,
         }))
         return
     extra = {}
@@ -385,6 +505,17 @@ def main():
             extra["512x256_train"] = bench_training("512x256")
         except Exception as e:
             extra["train_error"] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            sh = bench_training_sharded("512x256")
+            tr = extra.get("512x256_train")
+            if tr:
+                sh["overhead_vs_unsharded_pct"] = round(
+                    100 * (sh["sharded_s1_step_ms"] / tr["train_step_ms"]
+                           - 1), 1
+                )
+            extra["512x256_train_sharded_s1"] = sh
+        except Exception as e:
+            extra["sharded_error"] = f"{type(e).__name__}: {e}"[:300]
     if res_small is None and res_big is None:
         print(json.dumps({
             "metric": "grid_points_per_s_per_chip_512x256_ar4",

@@ -29,10 +29,11 @@ import numpy as np
 
 from .structure import Graph
 
-__all__ = ["ShardedGraph", "BandedHalos", "NodePartition",
-           "partition_nodes_by_latitude", "build_node_partition",
+__all__ = ["ShardedGraph", "BandedHalos", "NodePartition", "TileShape",
+           "partition_nodes_by_latitude", "tile_boundaries",
+           "partition_nodes_by_tiles", "build_node_partition",
            "shard_graph", "shard_graph_bipartite", "build_banded_halos",
-           "scatter_nodes", "gather_nodes"]
+           "build_tiled_halos", "scatter_nodes", "gather_nodes"]
 
 
 @dataclasses.dataclass
@@ -116,6 +117,88 @@ def partition_nodes_by_latitude(
     for s, idx in enumerate(splits):
         shard_of[idx] = s
     return shard_of
+
+
+@dataclasses.dataclass(frozen=True)
+class TileShape:
+    """Static 2-D tile topology: ``s_lat`` latitude bands × ``s_lon``
+    longitude sectors (cyclic); shard id = band * s_lon + sector."""
+
+    s_lat: int
+    s_lon: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.s_lat * self.s_lon
+
+    @staticmethod
+    def factor(num_shards: int) -> "TileShape":
+        """Near-square factorization, more splits on the (cyclic) lon axis."""
+        s_lat = int(np.sqrt(num_shards))
+        while num_shards % s_lat:
+            s_lat -= 1
+        return TileShape(s_lat, num_shards // s_lat)
+
+
+def tile_boundaries(
+    all_lats: np.ndarray,
+    all_lons: np.ndarray,
+    weights: np.ndarray,
+    shape: TileShape,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared 2-D tile boundaries balancing the COMBINED weighted node set.
+
+    Why shared: the grid (uniform per lat-degree) and the icosphere mesh
+    (density ∝ cos lat) have different latitude distributions, so
+    independently count-balanced bands MISALIGN — bipartite G2M/M2G edges
+    then span many sender bands and the banded halo degenerates toward
+    all_gather at high shard counts (the S≥16 failure in MULTICHIP_r02).
+    One set of boundaries, computed from grid+mesh nodes weighted by their
+    per-node compute cost, keeps every radius/containment edge within ±1
+    band while balancing total WORK per shard.
+
+    Returns (lat_edges [s_lat−1], lon_edges [s_lat, s_lon−1]).
+    """
+    order = np.argsort(all_lats, kind="stable")
+    csum = np.cumsum(weights[order])
+    total = csum[-1]
+    lat_edges = np.empty(shape.s_lat - 1, np.float64)
+    band_targets = total * np.arange(1, shape.s_lat) / shape.s_lat
+    cut_idx = np.searchsorted(csum, band_targets)
+    lat_edges = all_lats[order][np.minimum(cut_idx, len(order) - 1)]
+
+    band_of = np.searchsorted(lat_edges, all_lats, side="right")
+    lon_edges = np.empty((shape.s_lat, shape.s_lon - 1), np.float64)
+    for b in range(shape.s_lat):
+        sel = band_of == b
+        lons_b = all_lons[sel]
+        w_b = weights[sel]
+        if lons_b.size == 0:
+            lon_edges[b] = np.linspace(0, 360, shape.s_lon + 1)[1:-1]
+            continue
+        o = np.argsort(lons_b, kind="stable")
+        c = np.cumsum(w_b[o])
+        targets = c[-1] * np.arange(1, shape.s_lon) / shape.s_lon
+        ci = np.minimum(np.searchsorted(c, targets), lons_b.size - 1)
+        lon_edges[b] = lons_b[o][ci]
+    return np.asarray(lat_edges, np.float64), lon_edges
+
+
+def partition_nodes_by_tiles(
+    node_lats: np.ndarray,
+    node_lons: np.ndarray,
+    lat_edges: np.ndarray,
+    lon_edges: np.ndarray,
+    shape: TileShape,
+) -> np.ndarray:
+    """[N] shard id per node for shared 2-D tile boundaries."""
+    band = np.searchsorted(lat_edges, node_lats, side="right")
+    shard = np.empty(len(node_lats), np.int32)
+    for b in range(shape.s_lat):
+        sel = band == b
+        sector = np.searchsorted(lon_edges[b], node_lons[sel], side="right")
+        shard[sel] = b * shape.s_lon + sector
+    return shard
 
 
 def build_node_partition(
@@ -334,6 +417,155 @@ def build_banded_halos(sg: ShardedGraph) -> BandedHalos:
         senders_ext[s] = ext
     return BandedHalos(send_up=send_up, send_down=send_down, hub_idx=hub_idx,
                        senders_ext=senders_ext, slab_size=h, hub_size=hh)
+
+
+@dataclasses.dataclass
+class TiledHalos:
+    """2-D tile halo plan: per-direction ``ppermute`` slabs + compact hub.
+
+    Directions are consumer-relative tile offsets (Δband, Δsector) over the
+    s_lat × s_lon topology (lon cyclic, lat bounded).  ``senders_ext``
+    re-indexes every edge's sender into the extended table
+    ``[local N_s | dir_0 slab H | ... | dir_{D-1} slab H | hub S·Hh]``.
+    """
+
+    shape: TileShape
+    dirs: Tuple[Tuple[int, int], ...]   # static (db, ds) list
+    send_idx: np.ndarray                # [S, D, H] local rows to ship per dir
+    hub_idx: np.ndarray                 # [S, Hh]
+    senders_ext: np.ndarray             # [S, E]
+    slab_size: int
+    hub_size: int
+
+    def rows_exchanged_per_step(self, sg: "ShardedGraph") -> dict:
+        s = sg.num_shards
+        n_pairs = sum(len(_tile_pairs(self.shape, d)) for d in self.dirs)
+        return {
+            "all_gather_baseline": s * (s - 1) * sg.sender_block,
+            "banded": n_pairs * self.slab_size
+            + s * (s - 1) * self.hub_size,
+        }
+
+
+def _tile_nbr(shape: TileShape, shard: int, d: Tuple[int, int]):
+    """Shard at consumer-relative offset d from `shard`, or None."""
+    b, j = divmod(shard, shape.s_lon)
+    db, ds = d
+    nb = b + db
+    if nb < 0 or nb >= shape.s_lat:
+        return None
+    return nb * shape.s_lon + (j + ds) % shape.s_lon
+
+
+def _tile_pairs(shape: TileShape, d: Tuple[int, int]):
+    """ppermute (src owner, dst consumer) pairs for consumer-offset d."""
+    pairs = []
+    for s in range(shape.num_shards):
+        o = _tile_nbr(shape, s, d)
+        if o is not None and o != s:
+            pairs.append((o, s))
+    return pairs
+
+
+def _tile_dirs(shape: TileShape) -> Tuple[Tuple[int, int], ...]:
+    if shape.s_lon > 2:
+        ds_list = (-1, 0, 1)
+    elif shape.s_lon == 2:
+        ds_list = (0, 1)
+    else:
+        ds_list = (0,)
+    dirs = [(db, ds) for db in (-1, 0, 1) for ds in ds_list
+            if (db, ds) != (0, 0)]
+    return tuple(d for d in dirs if _tile_pairs(shape, d))
+
+
+def build_tiled_halos(sg: ShardedGraph, shape: TileShape) -> TiledHalos:
+    """Derive the 2-D tile halo plan from a receiver-sharded graph whose
+    node partitions came from :func:`partition_nodes_by_tiles` with SHARED
+    boundaries for senders and receivers."""
+    s_n, n_s = sg.num_shards, sg.sender_block
+    assert s_n == shape.num_shards
+    owner = sg.senders_global // n_s
+    local = sg.senders_global % n_s
+    live = sg.edge_mask > 0
+    dirs = _tile_dirs(shape)
+    d_index = {d: i for i, d in enumerate(dirs)}
+
+    def classify(consumer: int, o: int):
+        """(db, ds) canonical offset of owner o from consumer, or None."""
+        cb, cj = divmod(consumer, shape.s_lon)
+        ob, oj = divmod(o, shape.s_lon)
+        db = ob - cb
+        if abs(db) > 1:
+            return None
+        raw = (oj - cj) % shape.s_lon
+        if raw == 0:
+            ds = 0
+        elif raw == 1:
+            ds = 1
+        elif raw == shape.s_lon - 1 and shape.s_lon > 2:
+            ds = -1
+        else:
+            return None
+        d = (db, ds)
+        return d if d in d_index else None
+
+    # need[s][d] = sorted unique local rows of owner _tile_nbr(s, d) that
+    # consumer s references in direction d.
+    need = [dict() for _ in range(s_n)]
+    hub_need = [[] for _ in range(s_n)]   # rows needed FROM owner o (global)
+    for s in range(s_n):
+        o, l = owner[s][live[s]], local[s][live[s]]
+        rem = o != s
+        for oo in np.unique(o[rem]):
+            rows = np.unique(l[rem][o[rem] == oo])
+            d = classify(s, int(oo))
+            if d is not None:
+                need[s][d] = rows
+            else:
+                hub_need[oo].append(rows)
+
+    hub_sets = [np.unique(np.concatenate(h)) if h else np.empty(0, np.int64)
+                for h in hub_need]
+    h = _pad_pow(max((len(r) for nd in need for r in nd.values()),
+                     default=0))
+    hh = _pad_pow(max((len(x) for x in hub_sets), default=0))
+
+    # send_idx[o][d] = rows owner o ships in direction d = need of the
+    # consumer s with _tile_nbr(s, d) == o, i.e. s = _tile_nbr(o, -d).
+    send_idx = np.zeros((s_n, len(dirs), h), np.int32)
+    for o in range(s_n):
+        for i, d in enumerate(dirs):
+            s = _tile_nbr(shape, o, (-d[0], -d[1]))
+            if s is None or s == o:
+                continue
+            rows = need[s].get(d, np.empty(0, np.int64))
+            send_idx[o, i, : len(rows)] = rows
+    hub_idx = np.zeros((s_n, hh), np.int32)
+    for o in range(s_n):
+        hub_idx[o, : len(hub_sets[o])] = hub_sets[o]
+
+    senders_ext = np.zeros((s_n,) + sg.senders_global.shape[1:], np.int32)
+    for s in range(s_n):
+        o, l, m = owner[s], local[s], live[s]
+        ext = np.zeros(o.shape, np.int64)
+        is_loc = (o == s) & m
+        ext[is_loc] = l[is_loc]
+        rem = (o != s) & m
+        for oo in np.unique(o[rem]):
+            sel = rem & (o == oo)
+            d = classify(s, int(oo))
+            if d is not None:
+                rows = need[s][d]
+                ext[sel] = (n_s + d_index[d] * h
+                            + np.searchsorted(rows, l[sel]))
+            else:
+                ext[sel] = (n_s + len(dirs) * h + oo * hh
+                            + np.searchsorted(hub_sets[oo], l[sel]))
+        senders_ext[s] = ext
+    return TiledHalos(shape=shape, dirs=dirs, send_idx=send_idx,
+                      hub_idx=hub_idx, senders_ext=senders_ext,
+                      slab_size=h, hub_size=hh)
 
 
 def scatter_nodes(sg: ShardedGraph, x: np.ndarray) -> np.ndarray:

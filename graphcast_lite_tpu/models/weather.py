@@ -97,6 +97,18 @@ class ModelGraphs:
         )
 
 
+def _encdec_remat() -> bool:
+    """Trace-time policy: remat encoder/decoder blocks exactly when the
+    processor scan does NOT remat (GCLT_SCAN_REMAT=none default) — the two
+    knobs trade the same HBM budget.  Override with GCLT_ENCDEC_REMAT."""
+    import os
+
+    v = os.environ.get("GCLT_ENCDEC_REMAT")
+    if v is not None:
+        return v not in ("0", "false", "off")
+    return os.environ.get("GCLT_SCAN_REMAT", "none").lower() == "none"
+
+
 def graph_layer_output_dim(cfg: GraphBlock, input_dim: int) -> int:
     """Output dim bookkeeping, mirroring reference GraphLayer (:289-404)."""
     if cfg.layer_type == GraphLayerType.SimpleConv:
@@ -278,9 +290,20 @@ class WeatherModel(nn.Module):
         mesh_in = jnp.concatenate([mesh_dyn, graphs.mesh_static], axis=-1)
         x = jnp.concatenate([grid_in, mesh_in], axis=0)      # [(N+M), C]
 
-        # 3) Encoder over Grid->Mesh.
+        # 3) Encoder over Grid->Mesh.  When the processor scan runs WITHOUT
+        # inner remat (GCLT_SCAN_REMAT=none, the fast-backward default), the
+        # encoder/decoder blocks are rematerialized instead: their [N, 2h]
+        # MLP temps (~170 MB each at 512x256) are what overflows HBM, and
+        # they are cheap to recompute (~33 ms/AR step vs the processor's
+        # ~240 ms).  GCLT_ENCDEC_REMAT=0/1 overrides.
+        # prevent_cse must stay True (default): these blocks are inline in
+        # the AR python loop, and with CSE enabled XLA merges the backward's
+        # recompute with the forward — silently re-saving the activations
+        # this remat exists to drop (verified: with prevent_cse=False the
+        # compile still OOMs with the same decoder temps live).
+        Block = nn.remat(ModelBlock) if _encdec_remat() else ModelBlock
         enc_in_dim = self._encoder_input_dim()
-        x, _ = ModelBlock(self.pipeline.encoder, enc_in_dim, name="encoder")(
+        x, _ = Block(self.pipeline.encoder, enc_in_dim, name="encoder")(
             x, graphs.encoding
         )
         grid_latent = x[:n_grid]
@@ -301,7 +324,7 @@ class WeatherModel(nn.Module):
         # 5) Decoder over Mesh->Grid on the combined array; keep grid rows.
         dec_in_dim = model_output_dim(self.pipeline.processor, proc_in_dim)
         combined = jnp.concatenate([grid_latent, mesh_processed], axis=0)
-        decoded, _ = ModelBlock(self.pipeline.decoder, dec_in_dim, name="decoder")(
+        decoded, _ = Block(self.pipeline.decoder, dec_in_dim, name="decoder")(
             combined, graphs.decoding
         )
         out = decoded[:n_grid]

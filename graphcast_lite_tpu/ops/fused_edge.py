@@ -48,7 +48,8 @@ import jax.numpy as jnp
 
 from .pallas_segment import segment_sum_sorted
 
-__all__ = ["edge_pipeline", "use_fused_edge", "training_trace"]
+__all__ = ["edge_pipeline", "edge_gather_mlp_agg", "use_fused_edge",
+           "training_trace"]
 
 _TRAINING_TRACE = contextvars.ContextVar("gclt_training_trace", default=False)
 
@@ -210,6 +211,107 @@ def _bwd(static, res, cot):
 
 
 _edge_pipeline.defvjp(_fwd, _bwd)
+
+
+class _StaticPre(NamedTuple):
+    num_sender_rows: int
+    num_receivers: int
+    tile_receivers: int
+    activation: str
+    interpret: bool
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def edge_gather_mlp_agg(
+    static: _StaticPre,
+    xs,           # [N_s_rows, H] PRE-PROJECTED sender rows (e.g. the halo-
+                  #               extended table inside a shard_map body)
+    xr,           # [R, H] pre-projected receiver rows
+    ep,           # [E, H] pre-projected edge-latent rows
+    b1,           # [H]
+    w2,           # [H, De]
+    b2,           # [De]
+    mask,         # [E]
+    senders,      # [E] int32 into xs rows
+    receivers,    # [E] int32 into xr rows, sorted ascending
+    r_chunk_base, r_chunk_tile,   # Pallas schedule over receivers
+    s_perm,       # [E] int32 argsort(senders)
+    s_sorted,     # [E] int32 senders[perm]
+    s_chunk_base, s_chunk_tile,   # Pallas schedule over s_sorted
+):
+    """The InteractionNet edge pipeline on PRE-PROJECTED inputs:
+
+        h_pre       = xs[senders] + xr[receivers] + ep + b1
+        edge_update = act(h_pre) @ w2 + b2
+        agg_sum     = segment_sum(edge_update · mask, receivers)
+
+    Returns (edge_update [E, De], agg_sum [R, De]).  Same closed-form
+    backward as :func:`edge_pipeline` (both node-space scatters through the
+    Pallas sorted-segment kernel), but the first-layer projections happen
+    OUTSIDE — the form the sharded per-shard body needs, where sender rows
+    cross chips between projection and gather (``parallel.sharded_model``).
+    The projection/halo backward then composes automatically (shard_map
+    transposes the ppermute/all_gather collectives)."""
+    out, _ = _pre_fwd(static, xs, xr, ep, b1, w2, b2, mask, senders,
+                      receivers, r_chunk_base, r_chunk_tile,
+                      s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+    return out
+
+
+def _pre_fwd(static, xs, xr, ep, b1, w2, b2, mask, senders, receivers,
+             r_chunk_base, r_chunk_tile, s_perm, s_sorted,
+             s_chunk_base, s_chunk_tile):
+    act = _act_fn(static.activation)
+    h_pre = (
+        jnp.take(xs, senders, axis=0)
+        + jnp.take(xr, receivers, axis=0)
+        + ep + b1
+    )
+    edge_update = act(h_pre) @ w2 + b2
+    agg_sum = segment_sum_sorted(
+        edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
+        static.num_receivers, static.tile_receivers, static.interpret,
+    )
+    res = (w2, mask, h_pre, senders, receivers, r_chunk_base, r_chunk_tile,
+           s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+    return (edge_update, agg_sum), res
+
+
+def _pre_bwd(static, res, cot):
+    (w2, mask, h_pre, senders, receivers, r_chunk_base, r_chunk_tile,
+     s_perm, s_sorted, s_chunk_base, s_chunk_tile) = res
+    d_eu, d_agg = cot
+    act = _act_fn(static.activation)
+
+    d_eu_tot = d_eu + mask[:, None] * jnp.take(d_agg, receivers, axis=0)
+    h, act_vjp = jax.vjp(act, h_pre)
+    d_w2 = h.T @ d_eu_tot
+    d_b2 = d_eu_tot.sum(axis=0)
+    (d_hp,) = act_vjp(d_eu_tot @ w2.T)
+    d_b1 = d_hp.sum(axis=0)
+
+    d_xr = segment_sum_sorted(
+        d_hp, receivers, r_chunk_base, r_chunk_tile,
+        static.num_receivers, static.tile_receivers, static.interpret,
+    )
+    d_xs = segment_sum_sorted(
+        jnp.take(d_hp, s_perm, axis=0), s_sorted, s_chunk_base, s_chunk_tile,
+        static.num_sender_rows, static.tile_receivers, static.interpret,
+    )
+
+    def int_zero(a):
+        import numpy as np
+
+        return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    return (d_xs, d_xr, d_hp, d_b1, d_w2, d_b2, jnp.zeros_like(mask),
+            int_zero(senders), int_zero(receivers),
+            int_zero(r_chunk_base), int_zero(r_chunk_tile),
+            int_zero(s_perm), int_zero(s_sorted),
+            int_zero(s_chunk_base), int_zero(s_chunk_tile))
+
+
+edge_gather_mlp_agg.defvjp(_pre_fwd, _pre_bwd)
 
 
 def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,

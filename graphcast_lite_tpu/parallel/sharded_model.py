@@ -87,10 +87,11 @@ class ShardingPlan:
     enc: ShardedGraph
     proc: ShardedGraph
     dec: ShardedGraph
-    enc_halos: Optional[BandedHalos]
-    proc_halos: Optional[BandedHalos]
-    dec_halos: Optional[BandedHalos]
+    enc_halos: Optional[object]   # BandedHalos | TiledHalos | None
+    proc_halos: Optional[object]
+    dec_halos: Optional[object]
     comm_stats: Dict[str, Dict[str, int]]
+    partition: str = "lat"        # "lat" (1-D bands) | "tiles" (2-D)
 
     def scatter_grid(self, x: np.ndarray) -> np.ndarray:
         """[..., G, F] -> [..., S, G_s, F]."""
@@ -100,25 +101,81 @@ class ShardingPlan:
         return self.grid_part.gather(np.asarray(x_sh))
 
 
+# Per-node forward-compute weight of a mesh node relative to a grid node
+# (the 12-step InteractionNet dominates: measured ~57 ms over 41K mesh nodes
+# vs ~33 ms over 172K grid+mesh rows at 512x256 => ~7x).  Used to balance
+# WORK, not node counts, when choosing shared 2-D tile boundaries.
+MESH_NODE_WEIGHT = 7.0
+
+
 def build_sharding_plan(
     gs: GraphSet,
     num_shards: int,
     halo_mode: str = "auto",
     pad_edges_multiple: int = 128,
+    partition: str = "auto",
 ) -> ShardingPlan:
-    """Partition grid+mesh into S latitude bands and shard all three graphs.
+    """Partition grid+mesh and shard all three graphs.
 
-    ``halo_mode``: "auto" picks gather vs banded per graph from the exact
-    rows-exchanged accounting; "banded" / "gather" force one plan everywhere.
+    ``partition``: "lat" — independent 1-D latitude bands per node space;
+    "tiles" — 2-D lat×lon tiles with SHARED boundaries balancing combined
+    work (fixes the bipartite-halo blowup at S≥16: misaligned per-space
+    bands make G2M/M2G edges span many sender bands); "auto" — build both
+    and keep the one moving fewer total rows/step.
+    ``halo_mode``: "auto" picks gather vs banded/tiled per graph from the
+    exact rows-exchanged accounting; "banded"/"gather" force one plan.
     """
-    grid_part = build_node_partition(
-        partition_nodes_by_latitude(gs.grid_lat, num_shards), num_shards
-    )
-    mesh_part = build_node_partition(
-        partition_nodes_by_latitude(gs.mesh_lat, num_shards), num_shards
-    )
-    n_grid = gs.num_grid_nodes
+    if partition == "auto":
+        lat_plan = build_sharding_plan(gs, num_shards, halo_mode,
+                                       pad_edges_multiple, "lat")
+        if num_shards < 4:
+            return lat_plan          # tiles degenerate to bands
+        tile_plan = build_sharding_plan(gs, num_shards, halo_mode,
+                                        pad_edges_multiple, "tiles")
 
+        def total(plan):
+            return sum(
+                min(st["banded"], st["all_gather_baseline"])
+                for st in plan.comm_stats.values()
+            )
+
+        return tile_plan if total(tile_plan) < total(lat_plan) else lat_plan
+
+    if partition == "tiles":
+        from ..graphs.partition import (
+            TileShape, build_tiled_halos, partition_nodes_by_tiles,
+            tile_boundaries,
+        )
+
+        shape = TileShape.factor(num_shards)
+        all_lats = np.concatenate([gs.grid_lat, gs.mesh_lat])
+        all_lons = np.concatenate([gs.grid_lon, gs.mesh_lon])
+        weights = np.concatenate([
+            np.ones(gs.num_grid_nodes, np.float64),
+            np.full(gs.num_mesh_nodes, MESH_NODE_WEIGHT, np.float64),
+        ])
+        lat_e, lon_e = tile_boundaries(all_lats, all_lons, weights, shape)
+        grid_shard = partition_nodes_by_tiles(
+            gs.grid_lat, gs.grid_lon, lat_e, lon_e, shape
+        )
+        mesh_shard = partition_nodes_by_tiles(
+            gs.mesh_lat, gs.mesh_lon, lat_e, lon_e, shape
+        )
+        grid_part = build_node_partition(grid_shard, num_shards)
+        mesh_part = build_node_partition(mesh_shard, num_shards)
+
+        def make_halos(sg):
+            return build_tiled_halos(sg, shape)
+    else:
+        grid_part = build_node_partition(
+            partition_nodes_by_latitude(gs.grid_lat, num_shards), num_shards
+        )
+        mesh_part = build_node_partition(
+            partition_nodes_by_latitude(gs.mesh_lat, num_shards), num_shards
+        )
+        make_halos = build_banded_halos
+
+    n_grid = gs.num_grid_nodes
     enc = shard_graph_bipartite(
         gs.encoding, grid_part, mesh_part, 0, n_grid, pad_edges_multiple
     )
@@ -132,15 +189,18 @@ def build_sharding_plan(
     halos = {}
     stats = {}
     for name, sg in (("enc", enc), ("proc", proc), ("dec", dec)):
-        h = build_banded_halos(sg)
+        h = make_halos(sg)
         acct = h.rows_exchanged_per_step(sg)
         if halo_mode == "banded":
             use = True
         elif halo_mode == "gather":
             use = False
-        else:  # auto: banded only when it moves strictly fewer rows
+        else:  # auto: halo plan only when it moves strictly fewer rows
             use = acct["banded"] < acct["all_gather_baseline"]
-        acct["chosen"] = "banded" if use else "gather"
+        acct["chosen"] = (
+            ("tiled" if partition == "tiles" else "banded") if use
+            else "gather"
+        )
         halos[name] = h if use else None
         stats[name] = acct
 
@@ -155,6 +215,7 @@ def build_sharding_plan(
         proc_halos=halos["proc"],
         dec_halos=halos["dec"],
         comm_stats=stats,
+        partition=partition,
     )
 
 
@@ -234,11 +295,30 @@ class GraphArrays:
     receivers: jnp.ndarray      # [S, E] local receiver row ids
     edge_mask: jnp.ndarray      # [S, E]
     edge_attr: Optional[jnp.ndarray] = None    # [S, E, F_e]
-    send_up: Optional[jnp.ndarray] = None      # [S, H]
+    send_up: Optional[jnp.ndarray] = None      # [S, H] (banded 1-D)
     send_down: Optional[jnp.ndarray] = None    # [S, H]
+    tile_send: Optional[jnp.ndarray] = None    # [S, D, H] (tiled 2-D)
     hub: Optional[jnp.ndarray] = None          # [S, Hh]
+    # Per-shard Pallas sorted-segment schedules (kernel-faithful sharded
+    # compute: the same one-hot-MXU segment kernel + fused edge unit the
+    # single-chip path uses; padded to equal shapes across shards).
+    r_chunk_base: Optional[jnp.ndarray] = None   # [S, NC_r]
+    r_chunk_tile: Optional[jnp.ndarray] = None
+    s_perm: Optional[jnp.ndarray] = None         # [S, E] argsort(senders)
+    s_sorted: Optional[jnp.ndarray] = None       # [S, E]
+    s_chunk_base: Optional[jnp.ndarray] = None   # [S, NC_s]
+    s_chunk_tile: Optional[jnp.ndarray] = None
     banded: bool = struct.field(pytree_node=False, default=False)
+    # 2-D tile topology (halo mode "tiled"): static direction list + shape.
+    tile_shape: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None
+    )
+    tile_dirs: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
+        pytree_node=False, default=None
+    )
     num_recv: int = struct.field(pytree_node=False, default=0)
+    num_sender_rows: int = struct.field(pytree_node=False, default=0)
+    tile_receivers: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -255,28 +335,90 @@ class PlanArrays:
     num_shards: int = struct.field(pytree_node=False, default=1)
 
 
-def _graph_arrays(sg: ShardedGraph, halos: Optional[BandedHalos]) -> GraphArrays:
-    if halos is not None:
-        return GraphArrays(
-            senders=jnp.asarray(halos.senders_ext),
-            receivers=jnp.asarray(sg.receivers_local),
-            edge_mask=jnp.asarray(sg.edge_mask),
-            edge_attr=(jnp.asarray(sg.edge_attr)
-                       if sg.edge_attr is not None else None),
-            send_up=jnp.asarray(halos.send_up),
-            send_down=jnp.asarray(halos.send_down),
-            hub=jnp.asarray(halos.hub_idx),
-            banded=True,
-            num_recv=sg.nodes_per_shard,
+def _pad_schedules(scheds, dummy_base: int, last_tile: int):
+    """Pad per-shard (base, tile) chunk lists to one [S, NC] shape.  Padding
+    chunks point at the all-padding extension rows (receiver id -1 in the
+    kernel's extended layout) and at the LAST tile, so they accumulate
+    exact zeros without re-initializing any tile."""
+    nc = max(b.shape[0] for b, _ in scheds)
+    bases = np.full((len(scheds), nc), dummy_base, np.int32)
+    tiles = np.full((len(scheds), nc), last_tile, np.int32)
+    for s, (b, t) in enumerate(scheds):
+        bases[s, : b.shape[0]] = b
+        tiles[s, : t.shape[0]] = t
+    return bases, tiles
+
+
+def _graph_arrays(sg: ShardedGraph, halos) -> GraphArrays:
+    from ..graphs.partition import TiledHalos
+    from ..ops.pallas_segment import (
+        DEFAULT_TILE_RECEIVERS, TILE_EDGES, build_schedule,
+    )
+
+    tiled = isinstance(halos, TiledHalos)
+    senders = (halos.senders_ext if halos is not None
+               else sg.senders_global)
+    if halos is None:
+        n_sender_rows = sg.num_shards * sg.sender_block
+    elif tiled:
+        n_sender_rows = (
+            sg.sender_block + len(halos.dirs) * halos.slab_size
+            + sg.num_shards * halos.hub_size
         )
+    else:
+        n_sender_rows = (
+            sg.sender_block + 2 * halos.slab_size
+            + sg.num_shards * halos.hub_size
+        )
+    s_n, e = senders.shape
+    n_s = sg.nodes_per_shard
+    e_ext = ((e + TILE_EDGES - 1) // TILE_EDGES) * TILE_EDGES + TILE_EDGES
+    dummy = e_ext - TILE_EDGES
+    ntiles_r = (n_s + DEFAULT_TILE_RECEIVERS - 1) // DEFAULT_TILE_RECEIVERS
+    ntiles_s = ((n_sender_rows + DEFAULT_TILE_RECEIVERS - 1)
+                // DEFAULT_TILE_RECEIVERS)
+
+    r_scheds, s_scheds = [], []
+    s_perm = np.zeros((s_n, e), np.int32)
+    s_sorted = np.zeros((s_n, e), np.int32)
+    for s in range(s_n):
+        r_scheds.append(build_schedule(np.asarray(sg.receivers_local[s]),
+                                       n_s, DEFAULT_TILE_RECEIVERS))
+        perm = np.argsort(np.asarray(senders[s]), kind="stable").astype(
+            np.int32
+        )
+        s_perm[s] = perm
+        s_sorted[s] = np.asarray(senders[s])[perm]
+        s_scheds.append(build_schedule(s_sorted[s], n_sender_rows,
+                                       DEFAULT_TILE_RECEIVERS))
+    r_base, r_tile = _pad_schedules(r_scheds, dummy, ntiles_r - 1)
+    s_base, s_tile = _pad_schedules(s_scheds, dummy, ntiles_s - 1)
+
     return GraphArrays(
-        senders=jnp.asarray(sg.senders_global),
+        senders=jnp.asarray(senders),
         receivers=jnp.asarray(sg.receivers_local),
         edge_mask=jnp.asarray(sg.edge_mask),
         edge_attr=(jnp.asarray(sg.edge_attr)
                    if sg.edge_attr is not None else None),
-        banded=False,
+        send_up=(jnp.asarray(halos.send_up)
+                 if halos is not None and not tiled else None),
+        send_down=(jnp.asarray(halos.send_down)
+                   if halos is not None and not tiled else None),
+        tile_send=jnp.asarray(halos.send_idx) if tiled else None,
+        hub=jnp.asarray(halos.hub_idx) if halos is not None else None,
+        r_chunk_base=jnp.asarray(r_base),
+        r_chunk_tile=jnp.asarray(r_tile),
+        s_perm=jnp.asarray(s_perm),
+        s_sorted=jnp.asarray(s_sorted),
+        s_chunk_base=jnp.asarray(s_base),
+        s_chunk_tile=jnp.asarray(s_tile),
+        banded=halos is not None,
+        tile_shape=((halos.shape.s_lat, halos.shape.s_lon) if tiled
+                    else None),
+        tile_dirs=halos.dirs if tiled else None,
         num_recv=sg.nodes_per_shard,
+        num_sender_rows=n_sender_rows,
+        tile_receivers=DEFAULT_TILE_RECEIVERS,
     )
 
 
@@ -348,15 +490,54 @@ def _mlp_tower(p, x):
     return x
 
 
+def _use_sharded_kernels(ga: GraphArrays, features: int) -> bool:
+    """Kernel-faithful per-shard compute: the same Pallas sorted-segment
+    kernel + fused edge unit the single-chip path uses.  Same conditions as
+    the single-chip policy (per-shard edge count, lane-aligned features,
+    TPU backend); override with GCLT_SHARDED_KERNELS=0/1."""
+    import os
+
+    from ..ops.segment import use_pallas_segment_sum
+
+    flag = os.environ.get("GCLT_SHARDED_KERNELS")
+    if flag is not None:
+        enabled = flag not in ("0", "false", "off")
+    else:
+        enabled = (
+            int(ga.senders.shape[-1]) >= 16384 and use_pallas_segment_sum()
+        )
+    return (
+        enabled
+        and ga.r_chunk_base is not None
+        and features % 128 == 0
+    )
+
+
 def _halo_rows(rows: jnp.ndarray, ga: GraphArrays, num_shards: int):
     """Extended sender table: local rows + exchanged remote rows.
 
     Gather mode: one tiled all_gather (ids are global slots).
     Banded mode: two ppermute boundary slabs + hub all_gather (ids are
     ext-table offsets) — see graphs.partition.BandedHalos.
+    Tiled mode: one ppermute slab per 2-D tile direction + hub all_gather —
+    see graphs.partition.TiledHalos.
     """
     if not ga.banded:
         return jax.lax.all_gather(rows, _AXIS, tiled=True)
+    if ga.tile_dirs is not None:
+        from ..graphs.partition import TileShape, _tile_pairs
+
+        shape = TileShape(*ga.tile_shape)
+        slabs = []
+        for i, d in enumerate(ga.tile_dirs):
+            perm = _tile_pairs(shape, d)
+            slabs.append(jax.lax.ppermute(
+                jnp.take(rows, ga.tile_send[i], axis=0), _AXIS, perm
+            ))
+        hub_all = jax.lax.all_gather(
+            jnp.take(rows, ga.hub, axis=0), _AXIS, tiled=True
+        )
+        return jnp.concatenate([rows] + slabs + [hub_all], axis=0)
     up_perm = [(i, i + 1) for i in range(num_shards - 1)]
     down_perm = [(i, i - 1) for i in range(1, num_shards)]
     from_down = jax.lax.ppermute(
@@ -395,10 +576,28 @@ def _gcn_layer(
         xw_s = xw_r
         scaled = xw_s * dinv[:, None]
     ext = _halo_rows(scaled, ga, num_shards)
-    msgs = jnp.take(ext, ga.senders, axis=0) * ga.edge_mask[:, None].astype(
-        xw_r.dtype
-    )
-    agg = jax.ops.segment_sum(msgs, ga.receivers, num_segments=ga.num_recv)
+    if _use_sharded_kernels(ga, int(xw_r.shape[-1])):
+        from ..ops.gcn_agg import _Static as _GcnStatic, _gcn_agg
+
+        static = _GcnStatic(
+            num_nodes=ga.num_sender_rows, num_receivers=ga.num_recv,
+            tile_receivers=ga.tile_receivers, bwd_mode="pallas",
+            interpret=jax.default_backend() == "cpu",
+        )
+        dummy_t = jnp.zeros((1, 1), jnp.int32)
+        agg = _gcn_agg(
+            static, ext, ga.edge_mask.astype(xw_r.dtype), ga.senders,
+            ga.receivers, ga.r_chunk_base, ga.r_chunk_tile,
+            ga.s_perm, ga.s_sorted, ga.s_chunk_base, ga.s_chunk_tile,
+            dummy_t, dummy_t, jnp.zeros((1, 1), xw_r.dtype),
+        )
+    else:
+        msgs = jnp.take(ext, ga.senders, axis=0) * ga.edge_mask[
+            :, None
+        ].astype(xw_r.dtype)
+        agg = jax.ops.segment_sum(
+            msgs, ga.receivers, num_segments=ga.num_recv
+        )
     out_r = agg * dinv[:, None] + xw_r * jnp.square(dinv)[:, None] + b
     out_s = (xw_s + b) if bipartite else out_r
     return out_s, out_r
@@ -455,6 +654,11 @@ def _interaction_processor(
             return _prelu(v, step_p[key]["alpha"])
         return jax.nn.silu(v) if activation in ("swish", "silu") else jax.nn.relu(v)
 
+    use_kernels = (
+        activation in ("swish", "silu", "relu")
+        and _use_sharded_kernels(ga, d)
+    )
+
     def body(carry, step_p):
         x, e = carry
         k0 = step_p["edge_mlp"]["lin_0"]["kernel"]
@@ -463,18 +667,43 @@ def _interaction_processor(
         xr = x @ k0[d: 2 * d]
         ep = e @ k0[2 * d:]
         ext = _halo_rows(xs, ga, num_shards)
-        h = (
-            jnp.take(ext, ga.senders, axis=0)
-            + jnp.take(xr, ga.receivers, axis=0)
-            + ep + b0
-        )
-        h = act(h, step_p["edge_mlp"], "act")
-        e_upd = (h @ step_p["edge_mlp"]["lin_1"]["kernel"]
-                 + step_p["edge_mlp"]["lin_1"]["bias"])
-        msgs = e_upd * emaskf[:, None].astype(e_upd.dtype)
-        agg = jax.ops.segment_sum(msgs, ga.receivers, num_segments=ga.num_recv)
         deg = jax.ops.segment_sum(emaskf, ga.receivers,
                                   num_segments=ga.num_recv)
+        if use_kernels:
+            # Same fused custom-VJP edge unit as the single-chip trainer
+            # (ops.fused_edge): both backward scatters through the Pallas
+            # sorted-segment kernel; the projection/halo backward composes
+            # automatically (shard_map transposes the collectives).
+            from ..ops.fused_edge import _StaticPre, edge_gather_mlp_agg
+
+            static = _StaticPre(
+                num_sender_rows=ga.num_sender_rows,
+                num_receivers=ga.num_recv,
+                tile_receivers=ga.tile_receivers,
+                activation="swish" if activation == "silu" else activation,
+                interpret=jax.default_backend() == "cpu",
+            )
+            e_upd, agg_sum = edge_gather_mlp_agg(
+                static, ext, xr, ep, b0,
+                step_p["edge_mlp"]["lin_1"]["kernel"],
+                step_p["edge_mlp"]["lin_1"]["bias"],
+                emaskf.astype(x.dtype), ga.senders, ga.receivers,
+                ga.r_chunk_base, ga.r_chunk_tile,
+                ga.s_perm, ga.s_sorted, ga.s_chunk_base, ga.s_chunk_tile,
+            )
+            agg = agg_sum
+        else:
+            h = (
+                jnp.take(ext, ga.senders, axis=0)
+                + jnp.take(xr, ga.receivers, axis=0)
+                + ep + b0
+            )
+            h = act(h, step_p["edge_mlp"], "act")
+            e_upd = (h @ step_p["edge_mlp"]["lin_1"]["kernel"]
+                     + step_p["edge_mlp"]["lin_1"]["bias"])
+            msgs = e_upd * emaskf[:, None].astype(e_upd.dtype)
+            agg = jax.ops.segment_sum(msgs, ga.receivers,
+                                      num_segments=ga.num_recv)
         agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
         node_in = jnp.concatenate([x, agg], axis=-1)
         h2 = act(

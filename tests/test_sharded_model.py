@@ -223,13 +223,15 @@ def test_comm_accounting_auto_select():
     lon = np.arange(0, 360, 360 / 24).astype(np.float32)
     gs = build_graph_set(lat, lon, [1, 2], grid2mesh_radius_query=0.6)
     plan = build_sharding_plan(gs, N_DEV, halo_mode="auto")
+    halo_name = "tiled" if plan.partition == "tiles" else "banded"
     for name in ("enc", "proc", "dec"):
         st = plan.comm_stats[name]
         assert st["chosen"] == (
-            "banded" if st["banded"] < st["all_gather_baseline"] else "gather"
+            halo_name if st["banded"] < st["all_gather_baseline"]
+            else "gather"
         )
         halos = getattr(plan, f"{name}_halos")
-        assert (halos is not None) == (st["chosen"] == "banded")
+        assert (halos is not None) == (st["chosen"] == halo_name)
 
 
 def test_trainer_mesh_path(tmp_path):
@@ -352,3 +354,113 @@ def test_weak_scaling_proxy_cpu_mesh():
     # Weak-scaling shape: 4x the problem on 4x the (virtual) shards should
     # not blow up superlinearly even on 2 shared physical cores.
     assert t8 < 12 * t2, (t2, t8)
+
+
+def test_train_step_parity_kernel_path(setup, monkeypatch):
+    """The kernel-faithful sharded path (Pallas segment + fused edge unit,
+    force-enabled -> interpret mode on CPU) matches the unsharded step."""
+    monkeypatch.setenv("GCLT_SHARDED_KERNELS", "1")
+    cfg, gs, graphs, model, params = setup
+    spec = RolloutSpec(obs_window=OBS, num_features=N_FEAT,
+                       use_residual=True, remat=True)
+    batch = 2
+    rng = np.random.RandomState(7)
+    x = rng.randn(batch, gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    y = rng.randn(batch, gs.num_grid_nodes, PRED * N_FEAT).astype(np.float32)
+    optimizer = optax.adam(1e-3)
+
+    def loss_fn(params):
+        window = x.reshape(batch, gs.num_grid_nodes, OBS, N_FEAT)
+        targets = y.reshape(batch, gs.num_grid_nodes, PRED, N_FEAT)
+
+        def model_fn(inp, m, t, p):
+            out, _ = jax.vmap(
+                lambda xi: model.apply(params, xi, graphs, m, t, p)
+            )(inp)
+            return out, None
+
+        loss, _ = rollout_loss(model_fn, jnp.asarray(window),
+                               jnp.asarray(targets), PRED, spec)
+        return loss
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = optimizer.update(ref_grads, optimizer.init(params), params)
+    ref_params = optax.apply_updates(params, updates)
+
+    n_space = N_DEV // 2
+    plan = build_sharding_plan(gs, n_space, halo_mode="banded")
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
+    step = make_sharded_train_step(fwd, spec, _mesh_2d(data=2), optimizer,
+                                   steps=PRED)
+    new_params, _, loss = step(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jnp.asarray(plan.scatter_grid(x)), jnp.asarray(plan.scatter_grid(y)),
+        arrs,
+    )
+    assert abs(float(loss) - float(ref_loss)) < 1e-4
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), new_params, ref_params
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-3
+
+
+def test_forward_parity_tiled(setup):
+    """2-D tile partition (shared work-balanced boundaries, per-direction
+    ppermute slabs) matches the single-device model."""
+    cfg, gs, graphs, model, params = setup
+    rng = np.random.RandomState(11)
+    x = rng.randn(gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    expect, _ = model.apply(params, jnp.asarray(x), graphs)
+
+    plan = build_sharding_plan(gs, N_DEV, partition="tiles")
+    assert plan.partition == "tiles"
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, N_DEV)
+    mesh = Mesh(np.asarray(jax.devices()[:N_DEV]).reshape(1, N_DEV),
+                ("data", "space"))
+    run = make_sharded_forward(fwd, mesh)
+    out_sh = run(params, jnp.asarray(plan.scatter_grid(x)[None]), arrs)
+    got = plan.gather_grid(np.asarray(out_sh[0]))
+    err = np.abs(got - np.asarray(expect)).max()
+    assert err < 1e-4, f"tiled sharded forward mismatch: {err}"
+
+
+def test_train_step_parity_tiled(setup):
+    """Tiled train step: loss parity vs the unsharded reference."""
+    cfg, gs, graphs, model, params = setup
+    spec = RolloutSpec(obs_window=OBS, num_features=N_FEAT,
+                       use_residual=True, remat=True)
+    batch = 2
+    rng = np.random.RandomState(12)
+    x = rng.randn(batch, gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+    y = rng.randn(batch, gs.num_grid_nodes, PRED * N_FEAT).astype(np.float32)
+    optimizer = optax.adam(1e-3)
+
+    def loss_fn(params):
+        window = x.reshape(batch, gs.num_grid_nodes, OBS, N_FEAT)
+        targets = y.reshape(batch, gs.num_grid_nodes, PRED, N_FEAT)
+
+        def model_fn(inp, m, t, p):
+            out, _ = jax.vmap(
+                lambda xi: model.apply(params, xi, graphs, m, t, p)
+            )(inp)
+            return out, None
+
+        loss, _ = rollout_loss(model_fn, jnp.asarray(window),
+                               jnp.asarray(targets), PRED, spec)
+        return loss
+
+    ref_loss = float(loss_fn(params))
+    n_space = N_DEV // 2
+    plan = build_sharding_plan(gs, n_space, partition="tiles")
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
+    step = make_sharded_train_step(fwd, spec, _mesh_2d(data=2), optimizer,
+                                   steps=PRED)
+    _, _, loss = step(
+        jax.tree.map(jnp.copy, params), optimizer.init(params),
+        jnp.asarray(plan.scatter_grid(x)), jnp.asarray(plan.scatter_grid(y)),
+        arrs,
+    )
+    assert abs(float(loss) - ref_loss) < 1e-4, (float(loss), ref_loss)
