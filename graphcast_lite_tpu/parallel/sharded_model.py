@@ -629,6 +629,101 @@ def _gcn_stack(
     return x_send, x_recv
 
 
+def _gat_core(core_p, x, ga: GraphArrays, num_shards: int, heads: int,
+              edge_mask):
+    """PyG-parity GATConv(concat=False) core (models/gnn.py:114-180) on a
+    sharded unified graph.  Receivers own their incoming edges, so the
+    masked softmax (incl. the implicit self loop) is receiver-LOCAL; only
+    the sender projections xp and their attention terms cross shards (one
+    packed halo exchange).  Returns (out [N_s, C], alpha [E])."""
+    kernel = core_p["kernel"]
+    att_src, att_dst = core_p["att_src"], core_p["att_dst"]
+    n, hc = x.shape[0], kernel.shape[1]
+    c = hc // heads
+    xp = (x @ kernel).reshape(n, heads, c)
+    a_src = (xp * att_src).sum(-1)            # [N_s, H]
+    a_dst = (xp * att_dst).sum(-1)
+
+    packed = jnp.concatenate([xp.reshape(n, hc), a_src], axis=-1)
+    ext = _halo_rows(packed, ga, num_shards)
+    xp_ext = ext[:, :hc].reshape(-1, heads, c)
+    a_src_ext = ext[:, hc:]
+
+    logits = (jnp.take(a_src_ext, ga.senders, axis=0)
+              + jnp.take(a_dst, ga.receivers, axis=0))
+    logits = jax.nn.leaky_relu(logits, 0.2)
+    self_logits = jax.nn.leaky_relu(a_src + a_dst, 0.2)
+
+    m = edge_mask[:, None]
+    neg = jnp.asarray(-1e30, logits.dtype)
+    ml = jnp.where(m > 0, logits, neg)
+    seg_max = jax.ops.segment_max(
+        ml, ga.receivers, num_segments=ga.num_recv, indices_are_sorted=True
+    )
+    seg_max = jnp.maximum(jnp.maximum(seg_max, self_logits), neg)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    shifted = jnp.exp(ml - jnp.take(seg_max, ga.receivers, axis=0)) * m
+    denom = jax.ops.segment_sum(
+        shifted, ga.receivers, num_segments=ga.num_recv,
+        indices_are_sorted=True,
+    )
+    self_exp = jnp.exp(self_logits - seg_max)
+    denom = jnp.maximum(denom + self_exp, 1e-16)
+    w = shifted / jnp.take(denom, ga.receivers, axis=0)        # [E, H]
+    self_w = self_exp / denom
+
+    msgs = jnp.take(xp_ext, ga.senders, axis=0) * w[..., None]
+    out = jax.ops.segment_sum(
+        msgs * m[..., None], ga.receivers, num_segments=ga.num_recv,
+        indices_are_sorted=True,
+    )
+    out = (out + xp * self_w[..., None]).mean(axis=1)
+    if "bias" in core_p:
+        out = out + core_p["bias"]
+    alpha = w.mean(axis=-1) * edge_mask
+    return out, alpha
+
+
+def _gat_stack(gl_p, cfg, x, ga: GraphArrays, num_shards: int):
+    """GraphLayerModule's GATConv branch (models/weather.py:137-161)."""
+    heads = cfg.gat_props.num_heads if cfg.gat_props else 1
+    hidden = list(cfg.hidden_dims or [])
+    n_layers = len(hidden) + 1
+    act_name = (cfg.activation or "prelu").lower()
+    for i in range(n_layers):
+        x, _ = _gat_core(gl_p[f"conv_{i}"]["core"], x, ga, num_shards,
+                         heads, ga.edge_mask.astype(x.dtype))
+        if i < n_layers - 1:
+            if act_name == "prelu":
+                x = _prelu(x, gl_p["act"]["alpha"])
+            else:
+                fn = (jax.nn.silu if act_name in ("swish", "silu")
+                      else jax.nn.relu)
+                x = fn(x)
+    if cfg.use_layer_norm:
+        x = _node_ln(x, gl_p["norm"])
+    return x
+
+
+def _sparse_gat(gl_p, cfg, x, ga: GraphArrays, num_shards: int,
+                edge_mask, attention_threshold, prune: bool):
+    """SparseGATConv (models/gnn.py:197-226): GAT + threshold pruning of the
+    per-shard edge mask (the reference's in-place graph mutation as a
+    functional mask update, reference src/models.py:341-365)."""
+    heads = cfg.gat_props.num_heads if cfg.gat_props else 1
+    out, alpha = _gat_core(gl_p["conv_0"]["core"], x, ga, num_shards,
+                           heads, edge_mask)
+    if prune:
+        new_mask = edge_mask * (alpha >= attention_threshold).astype(
+            edge_mask.dtype
+        )
+    else:
+        new_mask = edge_mask
+    if cfg.use_layer_norm:
+        out = _node_ln(out, gl_p["norm"])
+    return out, new_mask
+
+
 def _interaction_processor(
     inet_p, x, ga: GraphArrays, num_shards: int, use_layer_norm: bool,
     activation: str,
@@ -764,13 +859,25 @@ class ShardedWeatherForward:
             ) != "node":
                 raise NotImplementedError("graph-mode MLP LN unsupported")
         if pl.processor.gcn.layer_type not in (
-            GraphLayerType.InteractionNet, GraphLayerType.ConvGCN
+            GraphLayerType.InteractionNet, GraphLayerType.ConvGCN,
+            GraphLayerType.GATConv, GraphLayerType.SparseGATConv,
         ):
             raise NotImplementedError(
-                "sharded processor supports InteractionNet/ConvGCN only"
+                "sharded processor supports InteractionNet/ConvGCN/GAT/"
+                "SparseGAT only"
             )
 
-    def __call__(self, params, x_grid: jnp.ndarray, arrs_local) -> jnp.ndarray:
+    @property
+    def sparse_gat(self) -> bool:
+        return (self.pipeline.processor.gcn.layer_type
+                == GraphLayerType.SparseGATConv)
+
+    def __call__(self, params, x_grid: jnp.ndarray, arrs_local,
+                 proc_edge_mask=None, attention_threshold=0.0,
+                 prune: bool = False):
+        """Returns (grid delta [G_s, C_out], new processing edge mask) —
+        the mask is the input mask unchanged except under SparseGAT pruning
+        (per-shard [E] layout)."""
         p = params["params"] if "params" in params else params
         pl = self.pipeline
         s_n = self.num_shards
@@ -798,14 +905,28 @@ class ShardedWeatherForward:
         # Processor over E_M (mesh-local).
         pp = p["processor"]
         x_mesh = mesh_latent
+        new_mask = proc_edge_mask
         if pl.processor.mlp is not None:
             x_mesh = _mlp_tower(pp["mlp"], x_mesh)
-        if pl.processor.gcn.layer_type == GraphLayerType.InteractionNet:
+        lt = pl.processor.gcn.layer_type
+        if lt == GraphLayerType.InteractionNet:
             use_ln = (pl.processor.gcn.use_layer_norm
                       if pl.processor.gcn.use_layer_norm is not None else True)
             mesh_processed = _interaction_processor(
                 pp["graph_layer"]["inet"], x_mesh, arrs_local.proc, s_n,
                 use_ln, (pl.processor.gcn.activation or "swish").lower(),
+            )
+        elif lt == GraphLayerType.GATConv:
+            mesh_processed = _gat_stack(
+                pp["graph_layer"], pl.processor.gcn, x_mesh,
+                arrs_local.proc, s_n,
+            )
+        elif lt == GraphLayerType.SparseGATConv:
+            mask = (proc_edge_mask if proc_edge_mask is not None
+                    else arrs_local.proc.edge_mask).astype(x_mesh.dtype)
+            mesh_processed, new_mask = _sparse_gat(
+                pp["graph_layer"], pl.processor.gcn, x_mesh,
+                arrs_local.proc, s_n, mask, attention_threshold, prune,
             )
         else:
             _, mesh_processed = _gcn_stack(
@@ -824,7 +945,7 @@ class ShardedWeatherForward:
             pd["graph_layer"], pl.decoder.gcn, m, g,
             arrs_local.dec, s_n, bipartite=True,
         )
-        return out_grid
+        return out_grid, new_mask
 
 
 # --------------------------------------------------------------------------
@@ -855,7 +976,7 @@ def make_sharded_forward(fwd: "ShardedWeatherForward", mesh: Mesh) -> Callable:
 
     def body(params, x, arrs):
         al = _strip_shard_axis(arrs)
-        out = jax.vmap(lambda xi: fwd(params, xi, al))(x[:, 0])
+        out = jax.vmap(lambda xi: fwd(params, xi, al)[0])(x[:, 0])
         return out[:, None]
 
     smap = jax.shard_map(
@@ -893,9 +1014,13 @@ def make_sharded_train_step(
     chan_mask: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
     freeze_processor: bool = False,
+    prune: bool = False,
 ) -> Callable:
     """Returns jitted ``step(params, opt_state, x_sh, y_sh, arrs) ->
-    (params, opt_state, loss)``.
+    (params, opt_state, loss)`` — or, for a SparseGAT processor
+    (``fwd.sparse_gat``), ``step(params, opt_state, x_sh, y_sh, arrs,
+    edge_mask, thr) -> (params, opt_state, loss, new_mask)`` with the
+    pruning mask in the per-shard [S, E] layout, sharded over "space".
 
     ``x_sh``: [B, S, G_s, obs·F] sharded ``P("data", "space")``;
     ``y_sh``: [B, S, G_s, P·F].  Params/opt_state replicated.
@@ -909,11 +1034,14 @@ def make_sharded_train_step(
         f"mesh space axis {mesh.devices.shape[-1]} != plan shards "
         f"{fwd.num_shards}"
     )
+    sparse_gat = fwd.sparse_gat
 
-    def body(params, opt_state, x, y, arrs):
+    def body(params, opt_state, x, y, arrs, edge_mask=None, thr=0.0):
         x = x[:, 0]      # local: [B_l, G_s, obs·F]
         y = y[:, 0]
         al = _strip_shard_axis(arrs)
+        if edge_mask is not None:
+            edge_mask = jax.lax.pcast(edge_mask[0], "data", to="varying")
         g_s = x.shape[1]
         b_l = x.shape[0]
         w = _local_weights(al, chan_mask, nf)          # [G_s, C]
@@ -923,18 +1051,27 @@ def make_sharded_train_step(
             window = x.reshape(b_l, g_s, obs, nf).astype(compute_dtype)
             targets = y.reshape(b_l, g_s, -1, nf).astype(compute_dtype)
             wc = w.astype(compute_dtype)
+            mask = (edge_mask.astype(compute_dtype)
+                    if edge_mask is not None else None)
 
-            def one_step(window):
+            def one_step(window, mask, do_prune):
                 inp = window.reshape(b_l, g_s, obs * nf)
-                delta = jax.vmap(lambda xi: fwd(params_c, xi, al))(inp)
+                delta, masks = jax.vmap(
+                    lambda xi: fwd(params_c, xi, al, mask, thr, do_prune)
+                )(inp)
+                # pruning is a batch-level decision: keep sample 0's mask
+                # (reference prunes on batch_num == 0)
+                new_mask = masks[0] if masks is not None else None
                 if spec.use_residual:
-                    return window[:, :, -1, :] + delta
-                return delta
+                    return window[:, :, -1, :] + delta, new_mask
+                return delta, new_mask
 
-            step_fn = jax.checkpoint(one_step) if spec.remat else one_step
+            step_fn = (jax.checkpoint(one_step, static_argnums=(2,))
+                       if spec.remat else one_step)
             num = jnp.float32(0.0)
             for step in range(steps):
-                out = step_fn(window)
+                # reference prunes once per batch (first model call)
+                out, mask = step_fn(window, mask, prune and step == 0)
                 tgt = targets[:, :, step, :]
                 num = num + (jnp.square(out - tgt) * wc).sum().astype(
                     jnp.float32
@@ -943,9 +1080,11 @@ def make_sharded_train_step(
                 window = jnp.concatenate(
                     [window[:, :, 1:, :], out[:, :, None, :]], axis=2
                 )
-            return num
+            return num, mask
 
-        num, grads = jax.value_and_grad(num_fn)(params)
+        (num, new_mask), grads = jax.value_and_grad(
+            num_fn, has_aux=True
+        )(params)
         den_local = w.sum() * b_l                      # param-free
         num = jax.lax.psum(num, axes)
         den = jnp.maximum(jax.lax.psum(den_local, axes), 1e-12)
@@ -961,14 +1100,34 @@ def make_sharded_train_step(
             grads = _zero_processor_grads(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if sparse_gat:
+            # one canonical mask per batch: data row 0's (different data
+            # rows saw different samples); psum of a row-0 selection proves
+            # data-replication to shard_map's VMA check
+            idx = jax.lax.axis_index(axes[0])
+            new_mask = jax.lax.psum(
+                jnp.where(idx == 0, new_mask.astype(jnp.float32),
+                          jnp.zeros_like(new_mask, jnp.float32)),
+                axes[0],
+            )
+            return params, opt_state, loss, new_mask[None]
         return params, opt_state, loss
 
-    smap = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1])),
-        out_specs=(P(), P(), P()),
-    )
+    if sparse_gat:
+        smap = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1]),
+                      P(axes[-1]), P()),
+            out_specs=(P(), P(), P(), P(axes[-1])),
+        )
+    else:
+        smap = jax.shard_map(
+            lambda p, o, x, y, a: body(p, o, x, y, a),
+            mesh=mesh,
+            in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1])),
+            out_specs=(P(), P(), P()),
+        )
     return jax.jit(smap, donate_argnums=(0, 1))
 
 
@@ -1003,17 +1162,23 @@ def make_sharded_eval_step(
         [i for i in range(nf) if i not in set(exclude_channels)], np.int32
     )
 
-    def body(params, x, y, sample_mask, arrs):
+    sparse_gat = fwd.sparse_gat
+
+    def body(params, x, y, sample_mask, arrs, edge_mask=None):
         x = x[:, 0]
         y = y[:, 0]
         al = _strip_shard_axis(arrs)
+        if edge_mask is not None:
+            edge_mask = jax.lax.pcast(edge_mask[0], "data", to="varying")
         b_l, g_s = x.shape[0], x.shape[1]
         sm = sample_mask                                # [b_l] local samples
         n_samples = jnp.maximum(jax.lax.psum(sm.sum(), axes[0]), 1.0)
         window = x.reshape(b_l, g_s, obs, nf)
         targets = y.reshape(b_l, g_s, -1, nf)
         inp = window.reshape(b_l, g_s, obs * nf)
-        delta = jax.vmap(lambda xi: fwd(params, xi, al))(inp)
+        delta = jax.vmap(
+            lambda xi: fwd(params, xi, al, edge_mask)[0]
+        )(inp)
         out = window[:, :, -1, :] + delta if spec.use_residual else delta
         tgt = targets[:, :, 0, :]
         out = carry_forward(out, window[:, :, -1, :], tgt, spec)
@@ -1051,10 +1216,19 @@ def make_sharded_eval_step(
         acc = jax.lax.psum((acc_per_sample * sm).sum(), axes[0]) / n_samples
         return loss, acc, raw_rmse
 
-    smap = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space)),
-        out_specs=(P(), P(), P()),
-    )
+    if sparse_gat:
+        smap = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space),
+                      P(space)),
+            out_specs=(P(), P(), P()),
+        )
+    else:
+        smap = jax.shard_map(
+            lambda p, x, y, sm, a: body(p, x, y, sm, a),
+            mesh=mesh,
+            in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space)),
+            out_specs=(P(), P(), P()),
+        )
     return jax.jit(smap)

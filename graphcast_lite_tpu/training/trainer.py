@@ -203,11 +203,6 @@ class Trainer:
 
             if graph_set is None:
                 raise ValueError("mesh= requires graph_set= (host GraphSet)")
-            if self.using_sparse_gat:
-                raise NotImplementedError(
-                    "SparseGAT models use the GSPMD path (parallel.sharding),"
-                    " not the explicit sharded trainer"
-                )
             if extra_loss_fn is not None:
                 raise NotImplementedError(
                     "extra_loss_fn is not supported on the sharded path"
@@ -240,9 +235,15 @@ class Trainer:
             jax.random.PRNGKey(seed if seed is not None else 42), dummy,
             self.graphs,
         )
-        mask = (
-            self.graphs.processing.edge_mask if self.using_sparse_gat else None
-        )
+        mask = None
+        if self.using_sparse_gat:
+            # mesh path: the pruning state lives in the per-shard [S, E]
+            # layout of the sharding plan; single-chip: padded COO [E_pad]
+            mask = (
+                self._plan_arrays.proc.edge_mask
+                if self.mesh is not None
+                else self.graphs.processing.edge_mask
+            )
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -373,7 +374,7 @@ class Trainer:
 
     def train_step(self, state, x, y, steps, thr, prune, freeze_processor):
         if self.mesh is not None:
-            return self._sharded_train_step(state, x, y, steps,
+            return self._sharded_train_step(state, x, y, steps, thr, prune,
                                             freeze_processor)
         key = (int(steps), bool(prune), bool(freeze_processor),
                tuple(x.shape))
@@ -385,7 +386,8 @@ class Trainer:
             state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(thr)
         )
 
-    def _sharded_train_step(self, state, x, y, steps, freeze_processor):
+    def _sharded_train_step(self, state, x, y, steps, thr, prune,
+                            freeze_processor):
         from ..parallel.sharded_model import make_sharded_train_step
 
         data_ax = int(self.mesh.devices.shape[0])
@@ -395,16 +397,25 @@ class Trainer:
                 f"the data-parallel axis ({data_ax}); use drop_remainder "
                 "batching or a compatible batch_size"
             )
-        key = ("sharded", int(steps), bool(freeze_processor), tuple(x.shape))
+        key = ("sharded", int(steps), bool(prune), bool(freeze_processor),
+               tuple(x.shape))
         if key not in self._train_step_cache:
             self._train_step_cache[key] = make_sharded_train_step(
                 self._sharded_fwd, self.spec, self.mesh, self.optimizer,
                 steps, chan_mask=self.chan_mask,
                 compute_dtype=self._compute_dtype,
                 freeze_processor=freeze_processor,
+                prune=prune,
             )
         x_sh = jnp.asarray(self._plan.scatter_grid(np.asarray(x)))
         y_sh = jnp.asarray(self._plan.scatter_grid(np.asarray(y)))
+        if self.using_sparse_gat:
+            params, opt_state, loss, new_mask = self._train_step_cache[key](
+                state.params, state.opt_state, x_sh, y_sh,
+                self._plan_arrays, state.edge_mask, jnp.asarray(thr),
+            )
+            return TrainState(params=params, opt_state=opt_state,
+                              edge_mask=new_mask), loss
         params, opt_state, loss = self._train_step_cache[key](
             state.params, state.opt_state, x_sh, y_sh, self._plan_arrays
         )
@@ -486,13 +497,16 @@ class Trainer:
                 pad = ((0, b_pad - b),) + ((0, 0),) * (x.ndim - 1)
                 x = np.pad(x, pad)
                 y = np.pad(y, ((0, b_pad - b),) + ((0, 0),) * (y.ndim - 1))
-            l, a, r = self._eval_step_cache(
+            args = (
                 state.params,
                 jnp.asarray(self._plan.scatter_grid(x)),
                 jnp.asarray(self._plan.scatter_grid(y)),
                 jnp.asarray(mask),
                 self._plan_arrays,
             )
+            if self.using_sparse_gat:
+                args = args + (state.edge_mask,)
+            l, a, r = self._eval_step_cache(*args)
             losses.append(float(l))
             accs.append(float(a))
             rmses.append(float(r) ** 2)
