@@ -342,8 +342,12 @@ def bench_training(config_name: str, iters: int = 3, mixed: bool = True):
 
     l0 = jloss(params, x, y, graphs)
     _sync(l0)
+    # rewarm the device-produced-input signature before timing (layout
+    # recompile otherwise lands in the loop — see bench_config)
+    lx = x + 1e-12 * _last_loss_bump(l0, x)
+    l0 = jloss(params, lx, y, graphs)
+    _sync(l0)
     t0 = time.time()
-    lx = x
     for _ in range(iters):
         lx = lx + 1e-12 * _last_loss_bump(jloss(params, lx, y, graphs), lx)
     _sync(lx)

@@ -98,15 +98,17 @@ class ModelGraphs:
 
 
 def _encdec_remat() -> bool:
-    """Trace-time policy: remat encoder/decoder blocks exactly when the
-    processor scan does NOT remat (GCLT_SCAN_REMAT=none default) — the two
-    knobs trade the same HBM budget.  Override with GCLT_ENCDEC_REMAT."""
+    """Trace-time policy: remat the encoder/decoder blocks
+    (GCLT_ENCDEC_REMAT=1).  Off by default — dropping the fused edge unit's
+    h_pre residual freed enough HBM that the flagship 512x256 AR-4 BPTT fits
+    without it (15.8G -> ~14.3G); turn on for larger grids/batches, trading
+    ~130 ms/step of recompute for ~2 GB."""
     import os
 
     v = os.environ.get("GCLT_ENCDEC_REMAT")
     if v is not None:
         return v not in ("0", "false", "off")
-    return os.environ.get("GCLT_SCAN_REMAT", "none").lower() == "none"
+    return False
 
 
 def graph_layer_output_dim(cfg: GraphBlock, input_dim: int) -> int:

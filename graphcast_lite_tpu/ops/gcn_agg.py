@@ -47,12 +47,16 @@ class _Static(NamedTuple):
 
 
 def supports_gcn_aggregate(graph, features: int) -> bool:
-    """Policy: needs the Pallas schedule + either transpose-ELL or the
-    sender sort-aux; kernel conditions as in ops.segment."""
+    """Policy: TRAINING traces only (the unit exists to reroute the
+    backward's scatter; in a forward-only program the custom_vjp boundary
+    just blocks fusion — same trade-off as ops.fused_edge), plus the Pallas
+    schedule + either transpose-ELL or the sender sort-aux."""
+    from .fused_edge import _TRAINING_TRACE
     from .segment import use_pallas_segment_sum
 
     return (
-        graph.seg_chunk_base is not None
+        _TRAINING_TRACE.get()
+        and graph.seg_chunk_base is not None
         and features % 128 == 0
         and graph.num_edges >= 16384
         and (graph.t_neigh_edge is not None or graph.senders_aux is not None)

@@ -81,12 +81,15 @@ def test_gcn_conv_uses_fused_path_numerics():
         lambda p: (conv.apply(p, x, g) ** 2).sum()
     )(params)
 
+    from graphcast_lite_tpu.ops.fused_edge import training_trace
+
     os.environ["GCLT_PALLAS_SEGMENT"] = "1"
     try:
-        out_fused = conv.apply(params, x, g)
-        grad_fused = jax.grad(
-            lambda p: (conv.apply(p, x, g) ** 2).sum()
-        )(params)
+        with training_trace():  # the fused path is training-trace-gated
+            out_fused = conv.apply(params, x, g)
+            grad_fused = jax.grad(
+                lambda p: (conv.apply(p, x, g) ** 2).sum()
+            )(params)
     finally:
         del os.environ["GCLT_PALLAS_SEGMENT"]
 
