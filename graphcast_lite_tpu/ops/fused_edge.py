@@ -99,6 +99,12 @@ class _Static(NamedTuple):
     tile_receivers: int
     activation: str
     interpret: bool
+    # Backward-scatter formulation: "ell" = dense ELL-table gathers (both
+    # node-space scatters become [R, K, H] einsum-gathers over the graph's
+    # receiver/sender tables — the multimesh has K = 12 both ways, so no
+    # permutation gather and no kernel launch); "pallas" = sorted-segment
+    # kernel via the precomputed sender-sort permutation.
+    bwd_mode: str = "pallas"
 
 
 def _act_fn(name: str):
@@ -129,16 +135,31 @@ def _edge_pipeline(
     s_perm,       # [E] int32 argsort(senders)
     s_sorted,     # [E] int32 senders[perm]
     s_chunk_base, s_chunk_tile,   # Pallas schedule over s_sorted
+    neigh_edge, neigh_mask,       # [R, K] receiver ELL (bwd_mode="ell")
+    t_neigh_edge, t_neigh_mask,   # [N, Ko] sender transpose ELL
+    pad_valid,                    # [E] static 1=real edge (ELL exactness)
 ):
     out, _ = _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
                   senders, receivers, r_chunk_base, r_chunk_tile,
-                  s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+                  s_perm, s_sorted, s_chunk_base, s_chunk_tile,
+                  neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask,
+                  pad_valid)
     return out
+
+
+def _ell_scatter(d_rows, edge_tab, mask_tab):
+    """Σ_k mask[n,k] · d_rows[edge_tab[n,k]] — the adjoint scatter as a
+    dense per-row gather over a static ELL table."""
+    n, k = edge_tab.shape
+    rows = jnp.take(d_rows, edge_tab.reshape(-1), axis=0)
+    rows = rows.reshape(n, k, d_rows.shape[-1])
+    return jnp.einsum("nkf,nk->nf", rows, mask_tab.astype(d_rows.dtype))
 
 
 def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
          senders, receivers, r_chunk_base, r_chunk_tile,
-         s_perm, s_sorted, s_chunk_base, s_chunk_tile):
+         s_perm, s_sorted, s_chunk_base, s_chunk_tile,
+         neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid):
     act = _act_fn(static.activation)
     xs = x @ w1s
     xr = x @ w1r
@@ -164,14 +185,16 @@ def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
     # (~1 ms/step vs the HBM it frees).
     res = (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
            deg, senders, receivers, r_chunk_base, r_chunk_tile,
-           s_perm, s_sorted, s_chunk_base, s_chunk_tile)
+           s_perm, s_sorted, s_chunk_base, s_chunk_tile,
+           neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid)
     return (edge_update, agg), res
 
 
 def _bwd(static, res, cot):
     (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
      deg, senders, receivers, r_chunk_base, r_chunk_tile,
-     s_perm, s_sorted, s_chunk_base, s_chunk_tile) = res
+     s_perm, s_sorted, s_chunk_base, s_chunk_tile,
+     neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid) = res
     d_eu, d_agg = cot
     act = _act_fn(static.activation)
     h_pre = (
@@ -195,14 +218,26 @@ def _bwd(static, res, cot):
     d_w1e = e_attr.T @ d_hp
 
     # The two node-space scatters — the ops this module exists for.
-    d_xr = segment_sum_sorted(
-        d_hp, receivers, r_chunk_base, r_chunk_tile,
-        static.num_receivers, static.tile_receivers, static.interpret,
-    )
-    d_xs = segment_sum_sorted(
-        jnp.take(d_hp, s_perm, axis=0), s_sorted, s_chunk_base, s_chunk_tile,
-        static.num_nodes, static.tile_receivers, static.interpret,
-    )
+    if static.bwd_mode == "ell":
+        # The ELL tables cover REAL edges; padded edges point at receiver
+        # num_receivers-1 / sender 0 by the build convention — add their
+        # (usually zero) contributions there so the adjoint is exact for
+        # arbitrary cotangents.
+        pad = ((1.0 - pad_valid)[:, None] * d_hp).sum(axis=0)
+        d_xr = _ell_scatter(d_hp, neigh_edge, neigh_mask)
+        d_xr = d_xr.at[static.num_receivers - 1].add(pad)
+        d_xs = _ell_scatter(d_hp, t_neigh_edge, t_neigh_mask)
+        d_xs = d_xs.at[0].add(pad)
+    else:
+        d_xr = segment_sum_sorted(
+            d_hp, receivers, r_chunk_base, r_chunk_tile,
+            static.num_receivers, static.tile_receivers, static.interpret,
+        )
+        d_xs = segment_sum_sorted(
+            jnp.take(d_hp, s_perm, axis=0), s_sorted,
+            s_chunk_base, s_chunk_tile,
+            static.num_nodes, static.tile_receivers, static.interpret,
+        )
     d_x = d_xs @ w1s.T + d_xr @ w1r.T
     d_w1s = x.T @ d_xs
     d_w1r = x.T @ d_xr
@@ -217,7 +252,10 @@ def _bwd(static, res, cot):
             int_zero(senders), int_zero(receivers),
             int_zero(r_chunk_base), int_zero(r_chunk_tile),
             int_zero(s_perm), int_zero(s_sorted),
-            int_zero(s_chunk_base), int_zero(s_chunk_tile))
+            int_zero(s_chunk_base), int_zero(s_chunk_tile),
+            int_zero(neigh_edge), jnp.zeros_like(neigh_mask),
+            int_zero(t_neigh_edge), jnp.zeros_like(t_neigh_mask),
+            jnp.zeros_like(pad_valid))
 
 
 _edge_pipeline.defvjp(_fwd, _bwd)
@@ -334,16 +372,36 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
     conditions (feature dims % 128, edge count, num_receivers == num_nodes).
     """
     aux = graph.senders_aux
+    # Backward-scatter mode: dense ELL gathers when BOTH directions have
+    # bounded-degree tables (the multimesh: K=12 receiver-side AND
+    # sender-side) — no permutation gather, no kernel; else the Pallas
+    # sorted-segment kernel.  The ELL adjoint covers REAL edges only, which
+    # is exact here because padded-edge cotangents vanish identically in
+    # the processor's masked carry structure (padding never reaches the
+    # aggregation or the next step's live rows); GCLT_FUSED_BWD overrides.
+    mode = os.environ.get("GCLT_FUSED_BWD")
+    if mode not in ("ell", "pallas"):
+        mode = ("ell" if graph.neigh_edge is not None
+                and graph.t_neigh_edge is not None else "pallas")
     static = _Static(
         num_nodes=graph.num_nodes,
         num_receivers=graph.num_receivers,
         tile_receivers=graph.seg_tile_receivers,
         activation=activation,
         interpret=jax.default_backend() == "cpu",
+        bwd_mode=mode,
     )
+    dummy_t = jnp.zeros((1, 1), jnp.int32)
+    dummy_m = jnp.zeros((1, 1), mask.dtype)
+    use_ell = mode == "ell"
     return _edge_pipeline(
         static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
         graph.senders, graph.receivers,
         graph.seg_chunk_base, graph.seg_chunk_tile,
         aux.perm, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
+        graph.neigh_edge if use_ell else dummy_t,
+        graph.neigh_mask if use_ell else dummy_m,
+        graph.t_neigh_edge if use_ell else dummy_t,
+        graph.t_neigh_mask if use_ell else dummy_m,
+        graph.edge_mask,   # static padding validity (pre-pruning)
     )

@@ -51,11 +51,16 @@ def supports_gcn_aggregate(graph, features: int) -> bool:
     backward's scatter; in a forward-only program the custom_vjp boundary
     just blocks fusion — same trade-off as ops.fused_edge), plus the Pallas
     schedule + either transpose-ELL or the sender sort-aux."""
+    import os
+
     from .fused_edge import _TRAINING_TRACE
     from .segment import use_pallas_segment_sum
 
+    flag = os.environ.get("GCLT_GCN_AGG")
+    if flag is not None and flag in ("0", "false", "off"):
+        return False
     return (
-        _TRAINING_TRACE.get()
+        (_TRAINING_TRACE.get() or flag == "1")
         and graph.seg_chunk_base is not None
         and features % 128 == 0
         and graph.num_edges >= 16384
