@@ -179,14 +179,17 @@ def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
         indices_are_sorted=True,
     )
     agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
-    # h_pre ([E, H], the largest candidate residual — 1.5 GB across a
-    # 12-step no-remat scan at 512x256) is NOT saved: the backward
-    # recomputes it from the node/edge inputs the scan already keeps
-    # (~1 ms/step vs the HBM it frees).
+    # h_pre ([E, H]) is the largest candidate residual — 1.5 GB across a
+    # 12-step no-remat scan at 512x256.  GCLT_FUSED_SAVE_HPRE=1 keeps it
+    # (faster backward, measured ~200 ms/step at 512x256, at +1.5 GB HBM —
+    # pair with GCLT_ENCDEC_REMAT=1 to stay under budget); default saves
+    # the memory and recomputes in _bwd.
+    h_saved = h_pre if os.environ.get("GCLT_FUSED_SAVE_HPRE") == "1" else None
     res = (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
            deg, senders, receivers, r_chunk_base, r_chunk_tile,
            s_perm, s_sorted, s_chunk_base, s_chunk_tile,
-           neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid)
+           neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid,
+           h_saved)
     return (edge_update, agg), res
 
 
@@ -194,10 +197,11 @@ def _bwd(static, res, cot):
     (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
      deg, senders, receivers, r_chunk_base, r_chunk_tile,
      s_perm, s_sorted, s_chunk_base, s_chunk_tile,
-     neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid) = res
+     neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid,
+     h_saved) = res
     d_eu, d_agg = cot
     act = _act_fn(static.activation)
-    h_pre = (
+    h_pre = h_saved if h_saved is not None else (
         jnp.take(x @ w1s, senders, axis=0)
         + jnp.take(x @ w1r, receivers, axis=0)
         + e_attr @ w1e
@@ -372,17 +376,17 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
     conditions (feature dims % 128, edge count, num_receivers == num_nodes).
     """
     aux = graph.senders_aux
-    # Backward-scatter mode: dense ELL gathers when BOTH directions have
-    # bounded-degree tables (the multimesh: K=12 receiver-side AND
-    # sender-side) — no permutation gather, no kernel; else the Pallas
-    # sorted-segment kernel.  The ELL adjoint covers REAL edges only, which
-    # is exact here because padded-edge cotangents vanish identically in
-    # the processor's masked carry structure (padding never reaches the
-    # aggregation or the next step's live rows); GCLT_FUSED_BWD overrides.
+    # Backward-scatter mode (GCLT_FUSED_BWD=ell|pallas).  Default "pallas":
+    # measured FASTER end-to-end than the dense ELL gathers at the flagship
+    # (1642 vs 1968 ms/train step on v5e — the [E->R,K] gather blowup of
+    # the ELL adjoint outweighs skipping the permutation gather).  "ell"
+    # kept for workloads with tighter tables.
     mode = os.environ.get("GCLT_FUSED_BWD")
     if mode not in ("ell", "pallas"):
-        mode = ("ell" if graph.neigh_edge is not None
-                and graph.t_neigh_edge is not None else "pallas")
+        mode = "pallas"
+    if mode == "ell" and (graph.neigh_edge is None
+                          or graph.t_neigh_edge is None):
+        mode = "pallas"
     static = _Static(
         num_nodes=graph.num_nodes,
         num_receivers=graph.num_receivers,

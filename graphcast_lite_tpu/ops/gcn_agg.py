@@ -56,8 +56,14 @@ def supports_gcn_aggregate(graph, features: int) -> bool:
     from .fused_edge import _TRAINING_TRACE
     from .segment import use_pallas_segment_sum
 
+    # Default OFF for the single-chip model: at the flagship the custom_vjp
+    # boundary costs more than the backward reroute saves (1687 vs 1642 ms/
+    # train step measured) — the encoder/decoder backward was already cheap.
+    # GCLT_GCN_AGG=1 opts in; the sharded per-shard bodies use the
+    # underlying op directly regardless (their fallback is a plain XLA
+    # scatter, which IS slower there).
     flag = os.environ.get("GCLT_GCN_AGG")
-    if flag is not None and flag in ("0", "false", "off"):
+    if flag != "1":
         return False
     return (
         (_TRAINING_TRACE.get() or flag == "1")

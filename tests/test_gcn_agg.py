@@ -84,6 +84,7 @@ def test_gcn_conv_uses_fused_path_numerics():
     from graphcast_lite_tpu.ops.fused_edge import training_trace
 
     os.environ["GCLT_PALLAS_SEGMENT"] = "1"
+    os.environ["GCLT_GCN_AGG"] = "1"   # opt-in (off by default, see policy)
     try:
         with training_trace():  # the fused path is training-trace-gated
             out_fused = conv.apply(params, x, g)
@@ -92,6 +93,7 @@ def test_gcn_conv_uses_fused_path_numerics():
             )(params)
     finally:
         del os.environ["GCLT_PALLAS_SEGMENT"]
+        del os.environ["GCLT_GCN_AGG"]
 
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-4)
