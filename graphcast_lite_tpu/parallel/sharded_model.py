@@ -983,6 +983,10 @@ def make_sharded_forward(fwd: "ShardedWeatherForward", mesh: Mesh) -> Callable:
         body, mesh=mesh,
         in_specs=(P(), P(*axes), P(axes[-1])),
         out_specs=P(*axes),
+        # pallas_call outputs carry no VMA annotation on real TPU backends;
+        # the per-shard kernel path would fail shard_map's check otherwise
+        # (numerics are parity-tested in tests/test_sharded_model.py)
+        check_vma=False,
     )
     return jax.jit(smap)
 
@@ -1120,6 +1124,7 @@ def make_sharded_train_step(
             in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1]),
                       P(axes[-1]), P()),
             out_specs=(P(), P(), P(), P(axes[-1])),
+            check_vma=False,
         )
     else:
         smap = jax.shard_map(
@@ -1127,6 +1132,7 @@ def make_sharded_train_step(
             mesh=mesh,
             in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1])),
             out_specs=(P(), P(), P()),
+            check_vma=False,
         )
     return jax.jit(smap, donate_argnums=(0, 1))
 
@@ -1223,6 +1229,7 @@ def make_sharded_eval_step(
             in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space),
                       P(space)),
             out_specs=(P(), P(), P()),
+            check_vma=False,
         )
     else:
         smap = jax.shard_map(
@@ -1230,5 +1237,6 @@ def make_sharded_eval_step(
             mesh=mesh,
             in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space)),
             out_specs=(P(), P(), P()),
+            check_vma=False,
         )
     return jax.jit(smap)
