@@ -467,14 +467,17 @@ def _node_ln(x, p, eps=1e-5):
 
 
 def _graph_ln_psum(x, p, mask, eps=1e-5):
-    """PyG graph-mode LayerNorm with psum'd masked statistics over space."""
+    """PyG graph-mode LayerNorm with psum'd masked statistics over space.
+    Statistics in f32 (the mask weights are f32); result cast back to the
+    compute dtype so bf16 scan carries keep their type."""
     w = mask[:, None]
     c = x.shape[-1]
     total_sum = jax.lax.psum((x * w).sum(), _AXIS)
     total_cnt = jnp.maximum(jax.lax.psum(w.sum() * c, _AXIS), 1.0)
     mean = total_sum / total_cnt
     var = jax.lax.psum((jnp.square(x - mean) * w).sum(), _AXIS) / total_cnt
-    return (x - mean) / jnp.sqrt(var + eps) * p["weight"] + p["bias"]
+    out = (x - mean) / jnp.sqrt(var + eps) * p["weight"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _mlp_tower(p, x):
