@@ -437,6 +437,11 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
+    # With one shard the whole model's per-step edge intermediates sit on
+    # one chip: remat the sharded processor scan (costs ~1 extra processor
+    # fwd per AR step, reported as part of the overhead — honest, since
+    # S>=2 would not need it).
+    os.environ.setdefault("GCLT_SHARDED_SCAN_REMAT", "full")
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("data", "space"))
     plan = build_sharding_plan(gs, 1)

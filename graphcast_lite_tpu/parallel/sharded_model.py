@@ -818,6 +818,17 @@ def _interaction_processor(
             new_x = _node_ln(new_x, step_p["node_norm"])
         return (new_x, new_e), None
 
+    # Optional per-step remat of the sharded scan (GCLT_SHARDED_SCAN_REMAT,
+    # falling back to GCLT_SCAN_REMAT): "full" recomputes each step in the
+    # backward — needed when per-shard edge intermediates for all steps
+    # would overflow HBM (e.g. the S=1 whole-model-on-one-chip bench).
+    import os as _os
+
+    _mode = _os.environ.get(
+        "GCLT_SHARDED_SCAN_REMAT", _os.environ.get("GCLT_SCAN_REMAT", "none")
+    ).lower()
+    if _mode == "full":
+        body = jax.checkpoint(body, prevent_cse=False)
     (x, e), _ = jax.lax.scan(body, (x, e), steps_p)
     return x
 
