@@ -440,8 +440,13 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     # With one shard the whole model's per-step edge intermediates sit on
     # one chip: remat the sharded processor scan (costs ~1 extra processor
     # fwd per AR step, reported as part of the overhead — honest, since
-    # S>=2 would not need it).
-    os.environ.setdefault("GCLT_SHARDED_SCAN_REMAT", "full")
+    # S>=2 would not need it).  GCLT_S1_REMAT=none measures without it (the
+    # remat-vs-machinery split); the env var is restored on exit so later
+    # sharded work in this process keeps its own policy.
+    remat_mode = os.environ.get("GCLT_S1_REMAT", "full")
+    prev_remat = os.environ.get("GCLT_SHARDED_SCAN_REMAT")
+    if prev_remat is None:
+        os.environ["GCLT_SHARDED_SCAN_REMAT"] = remat_mode
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("data", "space"))
     plan = build_sharding_plan(gs, 1)
@@ -454,21 +459,28 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     y = jnp.asarray(plan.scatter_grid(
         rng.randn(1, g, ar * n_feat).astype(np.float32)))
 
-    t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, x, y, arrs)
-    _sync(loss)
-    compile_s = time.time() - t0
-    params, opt_state, loss = step(params, opt_state, x, y, arrs)
-    _sync(loss)
-    t0 = time.time()
-    for _ in range(iters):
+    try:
+        t0 = time.time()
         params, opt_state, loss = step(params, opt_state, x, y, arrs)
-    _sync(loss)
-    dt = (time.time() - t0) / iters
+        _sync(loss)
+        compile_s = time.time() - t0
+        params, opt_state, loss = step(params, opt_state, x, y, arrs)
+        _sync(loss)
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt_state, loss = step(params, opt_state, x, y, arrs)
+        _sync(loss)
+        dt = (time.time() - t0) / iters
+    finally:
+        if prev_remat is None:
+            os.environ.pop("GCLT_SHARDED_SCAN_REMAT", None)
+        else:
+            os.environ["GCLT_SHARDED_SCAN_REMAT"] = prev_remat
     return {
         "sharded_s1_step_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
         "loss": float(loss),
+        "scan_remat": remat_mode,
     }
 
 

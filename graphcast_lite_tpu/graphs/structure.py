@@ -31,9 +31,26 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["Graph", "pad_to_multiple", "build_graph"]
+__all__ = ["Graph", "StepSched", "pad_to_multiple", "build_graph"]
 
 _LANE = 128  # pad edge counts to the TPU lane width
+
+
+@struct.dataclass
+class StepSched:
+    """Device-side chunk schedule for the fused edge-step kernel
+    (``ops.pallas_edge_step``): per-chunk DMA bases, (possibly negative =
+    inert) receiver tiles, exactly-once ownership windows, receiver-window
+    bases, and the per-chunk absolute receiver ids."""
+
+    base: jnp.ndarray
+    tile: jnp.ndarray
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+    rwin: jnp.ndarray
+    recv: jnp.ndarray
+    win_r: int = struct.field(pytree_node=False, default=512)
+    xr_rows: int = struct.field(pytree_node=False, default=0)
 
 
 def pad_to_multiple(n: int, m: int = _LANE) -> int:
@@ -82,6 +99,9 @@ class Graph:
     # receiver tile of each chunk); None disables the kernel path.
     seg_chunk_base: Optional[jnp.ndarray] = None
     seg_chunk_tile: Optional[jnp.ndarray] = None
+    # Fused edge-step kernel schedule (ops.pallas_edge_step); None
+    # disables that kernel.
+    step_sched: Optional[StepSched] = None
     # Fast-adjoint gather aux (sender-sorted permutations for the backward).
     senders_aux: Optional[object] = None
     receivers_aux: Optional[object] = None
@@ -154,6 +174,18 @@ def build_graph(
         r_full, num_receivers, DEFAULT_TILE_RECEIVERS
     )
 
+    from ..ops.pallas_edge_step import build_step_schedule
+
+    ss = build_step_schedule(r_full, num_receivers, DEFAULT_TILE_RECEIVERS)
+    step_sched = None
+    if ss is not None:
+        step_sched = StepSched(
+            base=jnp.asarray(ss.base), tile=jnp.asarray(ss.tile),
+            lo=jnp.asarray(ss.win_lo), hi=jnp.asarray(ss.win_hi),
+            rwin=jnp.asarray(ss.rwin), recv=jnp.asarray(ss.recv),
+            win_r=ss.win_r, xr_rows=ss.xr_rows,
+        )
+
     neigh_senders = neigh_edge = neigh_mask = None
     if build_ell and e > 0:
         degrees = np.bincount(r_sorted, minlength=num_receivers)
@@ -216,6 +248,7 @@ def build_graph(
         t_neigh_mask=t_neigh_mask,
         seg_chunk_base=jnp.asarray(seg_chunk_base),
         seg_chunk_tile=jnp.asarray(seg_chunk_tile),
+        step_sched=step_sched,
         senders_aux=senders_aux,
         receivers_aux=receivers_aux,
         num_nodes=int(num_nodes),

@@ -367,6 +367,91 @@ class _FusedEdgeMLP(nn.Module):
         )
 
 
+class _MegaEdgeMLP(nn.Module):
+    """Inference-trace counterpart of ``_FusedEdgeMLP``: same parameters
+    (lin_0 / lin_1 under "edge_mlp"), but the tail act(h_pre)@W2 + masked
+    segment-sum runs through the forward-only Pallas mega-kernel
+    (``ops.pallas_edge_mlp``) with no custom_vjp boundary.  Returns
+    (edge_update, agg_sum) — NOT differentiable (the kernel has no autodiff
+    rule); callers gate on forward-only traces."""
+
+    node_dim: int
+    edge_dim: int
+    hidden: int
+    out: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, edge_attr, graph: Graph, mask):
+        from ..ops.gather import gather_rows
+        from ..ops.pallas_edge_mlp import edge_mlp_segment
+
+        d, de = self.node_dim, self.edge_dim
+        lin_0 = _TorchLinearParams(2 * d + de, self.hidden, name="lin_0")
+        lin_1 = _TorchLinearParams(self.hidden, self.out, name="lin_1")
+        k = lin_0.kernel
+        xs = x @ k[:d]
+        xr = x @ k[d : 2 * d]
+        h = (
+            gather_rows(xs, graph.senders_aux, graph.senders)
+            + gather_rows(xr, graph.receivers_aux, graph.receivers)
+            + edge_attr @ k[2 * d :]
+            + lin_0.bias
+        )
+        return edge_mlp_segment(
+            h, lin_1.kernel, lin_1.bias, mask,
+            graph.receivers, graph.seg_chunk_base, graph.seg_chunk_tile,
+            graph.num_receivers, graph.seg_tile_receivers,
+            self.activation, interpret=jax.default_backend() == "cpu",
+        )
+
+
+def _use_edge_step_path(graph: Graph, hidden_dim: int, edge_dim: int,
+                        activation: str) -> bool:
+    """Fused edge-step kernel policy: inference traces only (no autodiff
+    rule yet), on backends where the Pallas kernels are on.
+    GCLT_EDGE_STEP=0/1 overrides (tests force 1 on CPU interpret)."""
+    import os
+
+    from ..ops.fused_edge import _TRAINING_TRACE
+    from ..ops.pallas_edge_step import supports_edge_step
+
+    if _TRAINING_TRACE.get():
+        return False
+    if not supports_edge_step(graph, hidden_dim, edge_dim, activation):
+        return False
+    flag = os.environ.get("GCLT_EDGE_STEP")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    # Default OFF: the fused step measured 2.75 ms/call solo on v5e vs the
+    # ~3.4 ms XLA-composed equivalent, but in-model integration overhead
+    # (per-step mask-schedule gather, lost multi-output fusions) ate the
+    # margin (73 vs 52 ms for the 12-step processor).  Kept for the
+    # window-expand groundwork; revisit with hoisted schedules + win_r=256.
+    return False
+
+
+def _use_mega_edge_path(graph: Graph, hidden_dim: int, edge_dim: int,
+                        activation: str) -> bool:
+    """Forward-only mega-kernel policy: inference traces on backends where
+    the Pallas segment kernel is on (the training-trace counterpart is the
+    custom_vjp fused unit, which routes through the same kernel internally).
+    GCLT_MEGA_EDGE=0 disables."""
+    import os
+
+    from ..ops.fused_edge import _TRAINING_TRACE
+    from ..ops.pallas_edge_mlp import supports_edge_mlp_segment
+
+    if os.environ.get("GCLT_MEGA_EDGE", "0") in ("0", "false", "off"):
+        return False
+    return (
+        not _TRAINING_TRACE.get()
+        and supports_edge_mlp_segment(graph, hidden_dim, edge_dim, activation)
+        and graph.num_receivers == graph.num_nodes
+        and seg_ops.use_pallas_segment_sum()
+    )
+
+
 def _use_fused_edge_path(graph: Graph, hidden_dim: int, edge_dim: int,
                          activation: str) -> bool:
     # Edge-count threshold: measured on v5e at hidden=edge=256, the fused
@@ -423,6 +508,15 @@ class InteractionNetLayer(nn.Module):
                 hidden=self.hidden_dim, out=self.edge_dim,
                 activation=self.activation, name="edge_mlp",
             )(x, edge_attr, graph, mask)
+        elif _use_mega_edge_path(graph, self.hidden_dim, self.edge_dim,
+                                 self.activation):
+            edge_update, agg_sum = _MegaEdgeMLP(
+                node_dim=self.node_dim, edge_dim=self.edge_dim,
+                hidden=self.hidden_dim, out=self.edge_dim,
+                activation=self.activation, name="edge_mlp",
+            )(x, edge_attr, graph, mask)
+            deg = seg_ops.masked_in_degree(graph, mask)
+            agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
         else:
             edge_update = _SplitEdgeMLP(
                 node_dim=self.node_dim, edge_dim=self.edge_dim,
@@ -493,6 +587,11 @@ class InteractionNetProcessor(nn.Module):
         act = resolve_activation(self.activation)
         e = PReLU(name="edge_encoder_act")(e) if act is None else act(e)
 
+        lazy = _use_lazy_processor(
+            graph, self.hidden_dim, self.edge_latent_dim, self.activation,
+            self.use_layer_norm,
+        )
+
         # GCLT_SCAN_REMAT selects the scan-step remat policy (trace-time):
         #   none (default) — no inner remat: the trainers' OUTER AR-step
         #          checkpoint already bounds live memory to one AR step, and
@@ -506,31 +605,266 @@ class InteractionNetProcessor(nn.Module):
         import os as _os
 
         _mode = _os.environ.get("GCLT_SCAN_REMAT", "none").lower()
+        base = _LazyINStep if lazy else _ScannedINStep
         if _mode == "none":
-            body = _ScannedINStep
+            body = base
         elif _mode == "dots":
             body = nn.remat(
-                _ScannedINStep, prevent_cse=False,
+                base, prevent_cse=False,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
         else:
-            body = nn.remat(_ScannedINStep, prevent_cse=False)
+            body = nn.remat(base, prevent_cse=False)
+        kwargs = dict(
+            node_dim=self.node_dim,
+            edge_dim=self.edge_latent_dim,
+            hidden_dim=self.hidden_dim,
+            activation=self.activation,
+            name="steps",
+        )
+        if not lazy:
+            kwargs["use_layer_norm"] = self.use_layer_norm
         scanned = nn.scan(
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=self.num_steps,
-        )(
+        )(**kwargs)
+        if lazy:
+            a0 = jnp.ones((self.edge_latent_dim,), jnp.float32)
+            c0 = jnp.zeros((self.edge_latent_dim,), jnp.float32)
+            (x, e, _, _), _ = scanned((x, e, a0, c0), graph, edge_mask)
+        else:
+            (x, e), _ = scanned((x, e), graph, edge_mask)
+        return x
+
+
+class _LNParams(nn.Module):
+    """Params-only declarator matching ``PyGLayerNorm``'s (weight, bias) —
+    used by the lazy-LN scan body, which applies the affine itself."""
+
+    features: int
+
+    def setup(self):
+        self.weight = self.param(
+            "weight", nn.initializers.ones, (self.features,)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def __call__(self):  # pragma: no cover - params-only module
+        return self.weight, self.bias
+
+
+def _use_lazy_processor(graph: Graph, hidden_dim: int, edge_dim: int,
+                        activation: str, use_layer_norm: bool) -> bool:
+    """Lazy edge-LN scan policy (GCLT_LAZY_EDGE=0/1, default: on wherever
+    the Pallas segment kernel is on).  Requires graph-mode LN on edges and a
+    stateless activation (the fold rewrites the next step's edge projection;
+    PReLU's learned slope would land inside the folded weights)."""
+    import os
+
+    flag = os.environ.get("GCLT_LAZY_EDGE")
+    try:
+        stateless = resolve_activation(activation) is not None
+    except ValueError:
+        stateless = False
+    structural = (
+        use_layer_norm
+        and stateless
+        and graph.senders_aux is not None
+        and graph.num_receivers == graph.num_nodes
+    )
+    if flag is not None:
+        # Explicit opt-in/out: structural conditions only (the body's inner
+        # tail degrades gracefully to plain XLA at any size — lets CPU
+        # parity tests exercise the restructure on small graphs).
+        return flag not in ("0", "false", "off") and structural
+    return (
+        seg_ops.use_pallas_segment_sum()
+        and structural
+        and graph.seg_chunk_base is not None
+        and hidden_dim % 128 == 0
+        and edge_dim % 128 == 0
+        and graph.num_edges >= 16384
+    )
+
+
+class _EdgeMLPParams(nn.Module):
+    """Params-only declarator for the edge MLP (lin_0 / lin_1 children,
+    bit-identical init to ``_SplitEdgeMLP``'s)."""
+
+    in0: int
+    hid: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        l0 = _TorchLinearParams(self.in0, self.hid, name="lin_0")
+        l1 = _TorchLinearParams(self.hid, self.out, name="lin_1")
+        return l0.kernel, l0.bias, l1.kernel, l1.bias
+
+
+class _LazyINLayer(nn.Module):
+    """One InteractionNet step with the edge LayerNorm applied LAZILY.
+
+    The standard step materializes three full [E, De] passes around the
+    residual+LN tail (read e, read u, write z; stats; read z, write LN(z)).
+    This layer carries the PRE-norm edge state ``v`` plus the per-feature
+    affine ``(a, c)`` of the previous step's LN, so that
+
+        e_t        = a ∘ v + c                       (never materialized)
+        h_pre      = xs[s] + xr[r] + e_t @ W1e + b1
+                   = xs[s] + xr[r] + v @ (a[:,None]·W1e) + (b1 + c@W1e)
+        v'         = e_t + u = a ∘ v + c + u          (one fused pass)
+        (μ, σ)     = masked graph-mode stats of v'
+        a', c'     = γ/σ,  β − γμ/σ
+
+    — identical math to ``InteractionNetLayer`` with ``PyGLayerNorm
+    (mode="graph")`` on edges (same masked stats, same ε), with the LN
+    application folded into the NEXT step's edge projection.  The last
+    step's edge state is discarded by the processor, so the fold never
+    needs undoing.  Parameter tree is identical to ``InteractionNetLayer``'s
+    ({edge_mlp,node_mlp,edge_norm,node_norm}) — checkpoints are
+    interchangeable (tests/test_gnn_parity.py).
+
+    Call: (x, v, a, c) -> (x', v', a', c').
+    Reference semantics: src/models.py:166-236.
+    """
+
+    node_dim: int
+    edge_dim: int
+    hidden_dim: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, v, a, c, graph: Graph, edge_mask):
+        mask = _edge_mask(graph, edge_mask)
+        d, de, hid = self.node_dim, self.edge_dim, self.hidden_dim
+
+        k0, b0, k1, b1 = _EdgeMLPParams(
+            2 * d + de, hid, de, name="edge_mlp"
+        )()
+        ln = _LNParams(de, name="edge_norm")
+
+        w1s, w1r, w1e = k0[:d], k0[d:2 * d], k0[2 * d:]
+        w1e_eff = a[:, None].astype(w1e.dtype) * w1e
+        b1_eff = b0 + c.astype(w1e.dtype) @ w1e
+
+        if _use_edge_step_path(graph, hid, de, self.activation):
+            # The whole edge side of the step in ONE Pallas pass: receiver
+            # expand, edge projection, act@W2, lazy residual, LN stats,
+            # aggregation — only the sender gather stays in XLA.
+            from ..ops.pallas_edge_step import edge_step_fused
+
+            ss = graph.step_sched
+            xsg = jnp.take(x @ w1s, graph.senders, axis=0)
+            v_new, agg_sum, stats = edge_step_fused(
+                xsg, v, x @ w1r, w1e_eff, b1_eff, k1, b1,
+                a.astype(jnp.float32), c.astype(jnp.float32), mask,
+                ss.base, ss.tile, ss.lo, ss.hi, ss.rwin, ss.recv,
+                graph.num_receivers, graph.seg_tile_receivers,
+                ss.win_r, ss.xr_rows, self.activation,
+                interpret=jax.default_backend() == "cpu",
+            )
+            deg = seg_ops.masked_in_degree(graph, mask)
+            agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
+
+            node_in = jnp.concatenate([x, agg], axis=-1)
+            node_update = _TwoLayerMLP(
+                hid, d, self.activation, name="node_mlp"
+            )(node_in)
+            new_x = PyGLayerNorm(mode="node", name="node_norm")(
+                x + node_update
+            )
+            sm, sq, cnt = stats[0], stats[1], stats[2]
+            denom = jnp.maximum(cnt * de, 1.0)
+            mu = sm / denom
+            var = jnp.maximum(sq / denom - jnp.square(mu), 0.0)
+            inv_sigma = jax.lax.rsqrt(var + 1e-5)
+            gamma = ln.weight.astype(jnp.float32)
+            beta = ln.bias.astype(jnp.float32)
+            return new_x, v_new, gamma * inv_sigma, \
+                beta - gamma * mu * inv_sigma
+
+        if _use_fused_edge_path(graph, hid, de, self.activation):
+            from ..ops.fused_edge import edge_pipeline
+
+            u, agg = edge_pipeline(
+                x, v, mask, w1s, w1r, w1e_eff, b1_eff, k1, b1, graph,
+                activation=self.activation,
+            )
+        else:
+            from ..ops.gather import gather_rows
+
+            h = (
+                gather_rows(x @ w1s, graph.senders_aux, graph.senders)
+                + gather_rows(x @ w1r, graph.receivers_aux, graph.receivers)
+                + v @ w1e_eff
+                + b1_eff
+            )
+            if _use_mega_edge_path(graph, hid, de, self.activation):
+                from ..ops.pallas_edge_mlp import edge_mlp_segment
+
+                u, agg_sum = edge_mlp_segment(
+                    h, k1, b1, mask,
+                    graph.receivers, graph.seg_chunk_base,
+                    graph.seg_chunk_tile, graph.num_receivers,
+                    graph.seg_tile_receivers, self.activation,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                act = resolve_activation(self.activation)
+                u = act(h) @ k1 + b1
+                agg_sum = seg_ops.aggregate_sum(u, graph, mask)
+            deg = seg_ops.masked_in_degree(graph, mask)
+            agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
+
+        node_in = jnp.concatenate([x, agg], axis=-1)
+        node_update = _TwoLayerMLP(
+            hid, d, self.activation, name="node_mlp"
+        )(node_in)
+        new_x = PyGLayerNorm(mode="node", name="node_norm")(
+            x + node_update
+        )
+
+        # Residual in the pre-norm space + masked graph-mode stats (f32,
+        # PyGLayerNorm semantics: scalar mean/var over masked elements).
+        v_new = a.astype(v.dtype)[None, :] * v + c.astype(v.dtype) + u
+        vf = v_new.astype(jnp.float32)
+        w = mask.astype(jnp.float32)[:, None]
+        denom = jnp.maximum(w.sum() * de, 1.0)
+        mu = (vf * w).sum() / denom
+        var = (jnp.square(vf - mu) * w).sum() / denom
+        inv_sigma = jax.lax.rsqrt(var + 1e-5)
+        gamma = ln.weight.astype(jnp.float32)
+        beta = ln.bias.astype(jnp.float32)
+        a_new = gamma * inv_sigma
+        c_new = beta - gamma * mu * inv_sigma
+        return new_x, v_new, a_new, c_new
+
+
+class _LazyINStep(nn.Module):
+    """scan-body adapter for the lazy-LN step: carry = (x, v, a, c)."""
+
+    node_dim: int
+    edge_dim: int
+    hidden_dim: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, carry, graph: Graph, edge_mask):
+        x, v, a, c = carry
+        x, v, a, c = _LazyINLayer(
             node_dim=self.node_dim,
-            edge_dim=self.edge_latent_dim,
+            edge_dim=self.edge_dim,
             hidden_dim=self.hidden_dim,
             activation=self.activation,
-            use_layer_norm=self.use_layer_norm,
-            name="steps",
-        )
-        (x, e), _ = scanned((x, e), graph, edge_mask)
-        return x
+            name="layer",
+        )(x, v, a, c, graph, edge_mask)
+        return (x, v, a, c), None
 
 
 class _ScannedINStep(nn.Module):

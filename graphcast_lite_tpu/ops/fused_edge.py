@@ -156,11 +156,41 @@ def _ell_scatter(d_rows, edge_tab, mask_tab):
     return jnp.einsum("nkf,nk->nf", rows, mask_tab.astype(d_rows.dtype))
 
 
+def _mega_enabled() -> bool:
+    return os.environ.get("GCLT_MEGA_EDGE", "0") not in ("0", "false", "off")
+
+
+def _edge_tail(static, h_pre, w2, b2, mask, receivers,
+               r_chunk_base, r_chunk_tile):
+    """act(h_pre) @ w2 + b2 and its masked receiver segment-sum — through
+    the fused Pallas mega-kernel when eligible (one pass over h_pre instead
+    of three extra [E, De] HBM round trips), else the composed ops."""
+    act = _act_fn(static.activation)
+    if (
+        _mega_enabled()
+        and static.activation in ("swish", "silu", "relu")
+        and h_pre.shape[-1] % 128 == 0
+        and w2.shape[-1] % 128 == 0
+    ):
+        from .pallas_edge_mlp import edge_mlp_segment
+
+        return edge_mlp_segment(
+            h_pre, w2, b2, mask, receivers, r_chunk_base, r_chunk_tile,
+            static.num_receivers, static.tile_receivers,
+            static.activation, static.interpret,
+        )
+    edge_update = act(h_pre) @ w2 + b2
+    agg_sum = segment_sum_sorted(
+        edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
+        static.num_receivers, static.tile_receivers, static.interpret,
+    )
+    return edge_update, agg_sum
+
+
 def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
          senders, receivers, r_chunk_base, r_chunk_tile,
          s_perm, s_sorted, s_chunk_base, s_chunk_tile,
          neigh_edge, neigh_mask, t_neigh_edge, t_neigh_mask, pad_valid):
-    act = _act_fn(static.activation)
     xs = x @ w1s
     xr = x @ w1r
     h_pre = (
@@ -169,10 +199,8 @@ def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
         + e_attr @ w1e
         + b1
     )
-    edge_update = act(h_pre) @ w2 + b2
-    agg_sum = segment_sum_sorted(
-        edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
-        static.num_receivers, static.tile_receivers, static.interpret,
+    edge_update, agg_sum = _edge_tail(
+        static, h_pre, w2, b2, mask, receivers, r_chunk_base, r_chunk_tile
     )
     deg = jax.ops.segment_sum(
         mask, receivers, num_segments=static.num_receivers,
@@ -313,16 +341,13 @@ def edge_gather_mlp_agg(
 def _pre_fwd(static, xs, xr, ep, b1, w2, b2, mask, senders, receivers,
              r_chunk_base, r_chunk_tile, s_perm, s_sorted,
              s_chunk_base, s_chunk_tile):
-    act = _act_fn(static.activation)
     h_pre = (
         jnp.take(xs, senders, axis=0)
         + jnp.take(xr, receivers, axis=0)
         + ep + b1
     )
-    edge_update = act(h_pre) @ w2 + b2
-    agg_sum = segment_sum_sorted(
-        edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
-        static.num_receivers, static.tile_receivers, static.interpret,
+    edge_update, agg_sum = _edge_tail(
+        static, h_pre, w2, b2, mask, receivers, r_chunk_base, r_chunk_tile
     )
     res = (w2, mask, h_pre, senders, receivers, r_chunk_base, r_chunk_tile,
            s_perm, s_sorted, s_chunk_base, s_chunk_tile)

@@ -66,7 +66,7 @@ def supports_gcn_aggregate(graph, features: int) -> bool:
     if flag != "1":
         return False
     return (
-        (_TRAINING_TRACE.get() or flag == "1")
+        _TRAINING_TRACE.get()
         and graph.seg_chunk_base is not None
         and features % 128 == 0
         and graph.num_edges >= 16384

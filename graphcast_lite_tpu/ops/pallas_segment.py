@@ -103,43 +103,43 @@ def build_schedule(
     tile_receivers: int = DEFAULT_TILE_RECEIVERS,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One-call host prep: (chunk_base, chunk_tile) for a receiver-sorted
-    (padded) id array, consistent with the extension the kernel applies."""
+    (padded) id array."""
     receivers_sorted = np.asarray(receivers_sorted)
-    e_pad = int(receivers_sorted.shape[0])
-    e_ext = ((e_pad + TILE_EDGES - 1) // TILE_EDGES) * TILE_EDGES + TILE_EDGES
     starts, ends, _, _ = build_tile_offsets(
         receivers_sorted, num_receivers, tile_receivers
     )
-    return build_chunk_schedule(starts, ends, e_ext)
+    return build_chunk_schedule(starts, ends)
 
 
 def build_chunk_schedule(
     starts: np.ndarray,
     ends: np.ndarray,
-    e_ext: int,
+    e_ext: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Flatten per-tile edge ranges into the kernel's chunk list.
 
     Args:
       starts/ends: per-tile edge ranges from :func:`build_tile_offsets`.
-      e_ext: padded edge-array length (multiple of TILE_EDGES, with at least
-        one trailing all-padding chunk whose receiver ids are -1).
+      e_ext: unused (kept for call-site compatibility; the dummy-chunk
+        convention no longer needs extension rows — see below).
 
     Returns (chunk_base [NC], chunk_tile [NC]) int32: TE-aligned edge base
     and owning receiver tile of every chunk, in tile order.  Tiles with no
-    edges contribute one dummy chunk at the extension rows (receiver -1)
-    so their output block is written (zeros).
+    edges contribute one NO-OP chunk encoded as (base 0, tile −(t+1)): the
+    kernel decodes the tile id, zero-initializes the block, and suppresses
+    the one-hot (a negative id marks the chunk inert), so no trailing
+    extension rows — and hence no [E, F] pad copy per call when the edge
+    array is already TILE_EDGES-aligned (the flagship graphs are).
     """
     starts = np.asarray(starts, np.int64)
     ends = np.asarray(ends, np.int64)
-    dummy = e_ext - TILE_EDGES
     bases, tiles = [], []
     for t in range(starts.shape[0]):
         n = int(max(ends[t] - starts[t], 0))
         nchunks = (n + TILE_EDGES - 1) // TILE_EDGES
         if nchunks == 0:
-            bases.append(dummy)
-            tiles.append(t)
+            bases.append(0)
+            tiles.append(-(t + 1))
             continue
         for c in range(nchunks):
             bases.append(int(starts[t]) + c * TILE_EDGES)
@@ -167,7 +167,12 @@ def _kernel(
     i = pl.program_id(0)
     nc = pl.num_programs(0)
     tr, te = tile_receivers, TILE_EDGES
-    r0 = tile_ref[i] * tr
+    # Negative tile ids mark inert chunks (empty-tile zero-init / schedule
+    # padding): decode the block index, suppress the one-hot.
+    t_enc = tile_ref[i]
+    t_dec = jnp.maximum(t_enc, -t_enc - 1)
+    live = (t_enc >= 0).astype(jnp.float32)
+    r0 = t_dec * tr
 
     def make_dma(slot, chunk_idx):
         base = pl.multiple_of(base_ref[chunk_idx], TILE_EDGES)
@@ -201,7 +206,9 @@ def _kernel(
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, te), 0)
     local = recv_scratch[slot, 0, :].reshape(1, te) - r0
-    onehot = jnp.where(rows == local, 1.0, 0.0).astype(jnp.bfloat16)
+    onehot = (
+        jnp.where(rows == local, 1.0, 0.0) * live
+    ).astype(jnp.bfloat16)
 
     def oh_dot(m):
         # A 0/1 one-hot lhs is exact in bf16, so default (single-pass)
@@ -226,8 +233,12 @@ def _kernel(
         acc = oh_dot(msg_scratch[slot]).astype(out_ref.dtype)
 
     # First chunk of a tile initializes its out block (Pallas does not
-    # zero revisited blocks); later chunks accumulate.
-    is_first = jnp.logical_or(i == 0, tile_ref[jnp.maximum(i - 1, 0)] != tile_ref[i])
+    # zero revisited blocks); later chunks accumulate.  Compare DECODED
+    # tiles so schedule-padding chunks (negative id, appended after the
+    # last real tile) accumulate zero instead of re-initializing.
+    prev = tile_ref[jnp.maximum(i - 1, 0)]
+    prev_dec = jnp.maximum(prev, -prev - 1)
+    is_first = jnp.logical_or(i == 0, prev_dec != t_dec)
 
     @pl.when(is_first)
     def _():
@@ -388,11 +399,17 @@ def _segment_sum_impl(
         _SCRATCH_BUDGET_BYTES // (te * f * msgs.dtype.itemsize), 2, _N_BUF
     ))
 
-    # Extend the edge arrays so any chunk DMA stays in bounds; extension
-    # rows carry receiver id -1 (never matches a tile).
-    e_ext = ((e_pad + te - 1) // te) * te + te
-    msgs_x = jnp.pad(msgs, ((0, e_ext - e_pad), (0, 0)))
-    recv_x = jnp.pad(recv1d, (0, e_ext - e_pad), constant_values=-1)
+    # Round the edge arrays up to whole DMA chunks.  Remainder rows carry
+    # receiver id -1 (never matches a tile).  At the flagship scales the
+    # padded edge counts are already TILE_EDGES-aligned, so this is a
+    # no-op — no [E, F] copy per call (dummy chunks read base 0 and are
+    # suppressed via their negative tile id, not via extension rows).
+    e_ext = max((e_pad + te - 1) // te, 1) * te
+    if e_ext != e_pad:
+        msgs_x = jnp.pad(msgs, ((0, e_ext - e_pad), (0, 0)))
+        recv_x = jnp.pad(recv1d, (0, e_ext - e_pad), constant_values=-1)
+    else:
+        msgs_x, recv_x = msgs, recv1d
     recv2d = recv_x.reshape(e_ext // te, 1, te)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -404,7 +421,10 @@ def _segment_sum_impl(
         ],
         out_specs=pl.BlockSpec(
             (tr, f),
-            lambda i, base_ref, tile_ref: (tile_ref[i], 0),
+            # decode negative (inert) tile ids: -(t+1) -> t
+            lambda i, base_ref, tile_ref: (
+                jnp.maximum(tile_ref[i], -tile_ref[i] - 1), 0
+            ),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

@@ -337,9 +337,9 @@ class PlanArrays:
 
 def _pad_schedules(scheds, dummy_base: int, last_tile: int):
     """Pad per-shard (base, tile) chunk lists to one [S, NC] shape.  Padding
-    chunks point at the all-padding extension rows (receiver id -1 in the
-    kernel's extended layout) and at the LAST tile, so they accumulate
-    exact zeros without re-initializing any tile."""
+    chunks are inert: base 0 with a NEGATIVE tile id (-ntiles decodes to the
+    last tile, which every schedule ends on, so the revisit is consecutive
+    and accumulates exact zeros without re-initializing any tile)."""
     nc = max(b.shape[0] for b, _ in scheds)
     bases = np.full((len(scheds), nc), dummy_base, np.int32)
     tiles = np.full((len(scheds), nc), last_tile, np.int32)
@@ -372,8 +372,6 @@ def _graph_arrays(sg: ShardedGraph, halos) -> GraphArrays:
         )
     s_n, e = senders.shape
     n_s = sg.nodes_per_shard
-    e_ext = ((e + TILE_EDGES - 1) // TILE_EDGES) * TILE_EDGES + TILE_EDGES
-    dummy = e_ext - TILE_EDGES
     ntiles_r = (n_s + DEFAULT_TILE_RECEIVERS - 1) // DEFAULT_TILE_RECEIVERS
     ntiles_s = ((n_sender_rows + DEFAULT_TILE_RECEIVERS - 1)
                 // DEFAULT_TILE_RECEIVERS)
@@ -391,8 +389,11 @@ def _graph_arrays(sg: ShardedGraph, halos) -> GraphArrays:
         s_sorted[s] = np.asarray(senders[s])[perm]
         s_scheds.append(build_schedule(s_sorted[s], n_sender_rows,
                                        DEFAULT_TILE_RECEIVERS))
-    r_base, r_tile = _pad_schedules(r_scheds, dummy, ntiles_r - 1)
-    s_base, s_tile = _pad_schedules(s_scheds, dummy, ntiles_s - 1)
+    # Schedule padding to a common per-shard length: inert chunks encoded
+    # as (base 0, NEGATIVE tile id) — the kernel decodes the block index
+    # and suppresses the one-hot (ops.pallas_segment convention).
+    r_base, r_tile = _pad_schedules(r_scheds, 0, -ntiles_r)
+    s_base, s_tile = _pad_schedules(s_scheds, 0, -ntiles_s)
 
     return GraphArrays(
         senders=jnp.asarray(senders),
@@ -514,6 +515,22 @@ def _use_sharded_kernels(ga: GraphArrays, features: int) -> bool:
         and ga.r_chunk_base is not None
         and features % 128 == 0
     )
+
+
+def _check_vma() -> bool:
+    """shard_map VMA checking policy: ``pallas_call`` outputs carry no VMA
+    annotation on real TPU backends, so the check must be OFF wherever the
+    per-shard kernel path can engage (it would reject correct programs).
+    Keep it ON for pure-XLA builds (CPU runs without GCLT_SHARDED_KERNELS=1)
+    so mis-specced collectives surface as trace-time errors, not numerics."""
+    import os
+
+    from ..ops.segment import use_pallas_segment_sum
+
+    flag = os.environ.get("GCLT_SHARDED_KERNELS")
+    if flag is not None:
+        return flag in ("0", "false", "off")
+    return not use_pallas_segment_sum()
 
 
 def _halo_rows(rows: jnp.ndarray, ga: GraphArrays, num_shards: int):
@@ -980,7 +997,13 @@ def _strip_shard_axis(arrs: PlanArrays, pvary_data: bool = True) -> PlanArrays:
 
 def make_sharded_forward(fwd: "ShardedWeatherForward", mesh: Mesh) -> Callable:
     """Jitted single-step sharded forward:
-    ``f(params, x_sh [B, S, G_s, obs·F], arrs) -> delta [B, S, G_s, C]``."""
+    ``f(params, x_sh [B, S, G_s, obs·F], arrs, edge_mask=None) ->
+    delta [B, S, G_s, C]``.
+
+    ``edge_mask`` is the per-shard [S, E_s] processing-edge mask (sharded
+    over "space") — pass a TrainState's pruned SparseGAT mask so forward
+    inference of a trained SparseGAT model doesn't silently fall back to the
+    unpruned plan mask."""
     axes = tuple(mesh.axis_names)
     assert axes == ("data", "space")
     assert mesh.devices.shape[-1] == fwd.num_shards, (
@@ -988,21 +1011,38 @@ def make_sharded_forward(fwd: "ShardedWeatherForward", mesh: Mesh) -> Callable:
         f"{fwd.num_shards}"
     )
 
-    def body(params, x, arrs):
+    def body(params, x, arrs, edge_mask=None):
         al = _strip_shard_axis(arrs)
-        out = jax.vmap(lambda xi: fwd(params, xi, al)[0])(x[:, 0])
+        if edge_mask is not None:
+            edge_mask = jax.lax.pcast(edge_mask[0], "data", to="varying")
+        out = jax.vmap(lambda xi: fwd(params, xi, al, edge_mask)[0])(x[:, 0])
         return out[:, None]
 
-    smap = jax.shard_map(
-        body, mesh=mesh,
+    # pallas_call outputs carry no VMA annotation on real TPU backends; the
+    # per-shard kernel path would fail shard_map's check otherwise (numerics
+    # are parity-tested in tests/test_sharded_model.py).  The check stays on
+    # for pure-XLA builds (_check_vma).
+    smap_plain = jax.shard_map(
+        lambda p, x, a: body(p, x, a), mesh=mesh,
         in_specs=(P(), P(*axes), P(axes[-1])),
         out_specs=P(*axes),
-        # pallas_call outputs carry no VMA annotation on real TPU backends;
-        # the per-shard kernel path would fail shard_map's check otherwise
-        # (numerics are parity-tested in tests/test_sharded_model.py)
-        check_vma=False,
+        check_vma=_check_vma(),
     )
-    return jax.jit(smap)
+    smap_masked = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(*axes), P(axes[-1]), P(axes[-1])),
+        out_specs=P(*axes),
+        check_vma=_check_vma(),
+    )
+    jplain = jax.jit(smap_plain)
+    jmasked = jax.jit(smap_masked)
+
+    def call(params, x, arrs, edge_mask=None):
+        if edge_mask is None:
+            return jplain(params, x, arrs)
+        return jmasked(params, x, arrs, edge_mask)
+
+    return call
 
 
 def _local_weights(arrs_local, chan_mask, num_features):
@@ -1138,7 +1178,7 @@ def make_sharded_train_step(
             in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1]),
                       P(axes[-1]), P()),
             out_specs=(P(), P(), P(), P(axes[-1])),
-            check_vma=False,
+            check_vma=_check_vma(),
         )
     else:
         smap = jax.shard_map(
@@ -1146,7 +1186,7 @@ def make_sharded_train_step(
             mesh=mesh,
             in_specs=(P(), P(), P(*axes), P(*axes), P(axes[-1])),
             out_specs=(P(), P(), P()),
-            check_vma=False,
+            check_vma=_check_vma(),
         )
     return jax.jit(smap, donate_argnums=(0, 1))
 
@@ -1243,7 +1283,7 @@ def make_sharded_eval_step(
             in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space),
                       P(space)),
             out_specs=(P(), P(), P()),
-            check_vma=False,
+            check_vma=_check_vma(),
         )
     else:
         smap = jax.shard_map(
@@ -1251,6 +1291,6 @@ def make_sharded_eval_step(
             mesh=mesh,
             in_specs=(P(), P(*axes), P(*axes), P(axes[0]), P(space)),
             out_specs=(P(), P(), P()),
-            check_vma=False,
+            check_vma=_check_vma(),
         )
     return jax.jit(smap)

@@ -31,4 +31,5 @@ def test_gather_rows_parity(rng, monkeypatch):
     g2 = jax.grad(
         lambda x: (jnp.take(x, jnp.asarray(idx), axis=0) * w).sum()
     )(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)

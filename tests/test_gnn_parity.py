@@ -263,3 +263,117 @@ def test_params_only_linear_matches_torch_linear():
     np.testing.assert_array_equal(
         np.asarray(a["params"]["bias"]), np.asarray(b["params"]["bias"])
     )
+
+
+def test_lazy_processor_parity(rng, small_graph_set):
+    """The lazy-LN scan body (carry = (x, v, a, c), LN folded into the next
+    step's edge projection) matches the standard InteractionNetProcessor
+    bit-for-bit-ish, with an IDENTICAL parameter tree (checkpoints are
+    interchangeable)."""
+    import os
+
+    from graphcast_lite_tpu.models.gnn import InteractionNetProcessor
+
+    g = small_graph_set.processing
+    d = 48
+    proc = InteractionNetProcessor(
+        node_dim=d, raw_edge_dim=4, edge_latent_dim=d, hidden_dim=d,
+        num_steps=3, activation="swish", use_layer_norm=True,
+    )
+    x = jnp.asarray(rng.randn(g.num_nodes, d).astype(np.float32))
+
+    os.environ["GCLT_LAZY_EDGE"] = "0"
+    try:
+        params_std = proc.init(jax.random.PRNGKey(7), x, g)
+        out_std = proc.apply(params_std, x, g)
+        os.environ["GCLT_LAZY_EDGE"] = "1"
+        params_lazy = proc.init(jax.random.PRNGKey(7), x, g)
+        out_lazy = proc.apply(params_lazy, x, g)
+        # identical param trees (same paths, same init draws)
+        flat_std = jax.tree_util.tree_leaves_with_path(params_std)
+        flat_lazy = jax.tree_util.tree_leaves_with_path(params_lazy)
+        assert [p for p, _ in flat_std] == [p for p, _ in flat_lazy]
+        for (_, a), (_, b) in zip(flat_std, flat_lazy):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(out_lazy), np.asarray(out_std), atol=2e-5, rtol=2e-5
+        )
+        # cross-application: standard-trained params through the lazy path
+        out_cross = proc.apply(params_std, x, g)
+        np.testing.assert_allclose(
+            np.asarray(out_cross), np.asarray(out_std), atol=2e-5, rtol=2e-5
+        )
+    finally:
+        os.environ.pop("GCLT_LAZY_EDGE", None)
+
+
+def test_lazy_processor_respects_edge_mask(rng, small_graph_set):
+    """Pruned-edge masks flow through the lazy body's stats and aggregation
+    identically to the standard path."""
+    import os
+
+    from graphcast_lite_tpu.models.gnn import InteractionNetProcessor
+
+    g = small_graph_set.processing
+    d = 32
+    proc = InteractionNetProcessor(
+        node_dim=d, raw_edge_dim=4, edge_latent_dim=d, hidden_dim=d,
+        num_steps=2, activation="swish", use_layer_norm=True,
+    )
+    x = jnp.asarray(rng.randn(g.num_nodes, d).astype(np.float32))
+    mask = np.asarray(g.edge_mask)
+    live = np.flatnonzero(mask > 0)
+    mask2 = mask.copy()
+    mask2[live[::3]] = 0.0
+    mask2 = jnp.asarray(mask2)
+
+    os.environ["GCLT_LAZY_EDGE"] = "0"
+    try:
+        params = proc.init(jax.random.PRNGKey(3), x, g)
+        out_std = proc.apply(params, x, g, edge_mask=mask2)
+        os.environ["GCLT_LAZY_EDGE"] = "1"
+        out_lazy = proc.apply(params, x, g, edge_mask=mask2)
+        np.testing.assert_allclose(
+            np.asarray(out_lazy), np.asarray(out_std), atol=2e-5, rtol=2e-5
+        )
+    finally:
+        os.environ.pop("GCLT_LAZY_EDGE", None)
+
+
+def test_lazy_processor_step_kernel_parity(rng):
+    """The fused edge-step kernel path (GCLT_EDGE_STEP=1, interpret mode)
+    matches the plain lazy path through a full processor run."""
+    import os
+
+    from graphcast_lite_tpu.graphs.structure import build_graph
+    from graphcast_lite_tpu.models.gnn import InteractionNetProcessor
+
+    n, e = 700, 20000
+    s = rng.randint(0, n, e)
+    r = rng.randint(0, n, e)
+    g = build_graph(s, r, num_nodes=n, build_ell=False, pad_multiple=128)
+    assert g.step_sched is not None
+    d = 128
+    proc = InteractionNetProcessor(
+        node_dim=d, raw_edge_dim=4, edge_latent_dim=d, hidden_dim=d,
+        num_steps=2, activation="swish", use_layer_norm=True,
+    )
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    edge_raw = jnp.asarray(
+        rng.randn(g.padded_num_edges, 4).astype(np.float32)
+    )
+
+    os.environ["GCLT_LAZY_EDGE"] = "1"
+    os.environ["GCLT_EDGE_STEP"] = "0"
+    try:
+        params = proc.init(jax.random.PRNGKey(5), x, g, edge_raw)
+        out_plain = proc.apply(params, x, g, edge_raw)
+        os.environ["GCLT_EDGE_STEP"] = "1"
+        out_step = proc.apply(params, x, g, edge_raw)
+        np.testing.assert_allclose(
+            np.asarray(out_step), np.asarray(out_plain), atol=2e-4,
+            rtol=2e-4,
+        )
+    finally:
+        os.environ.pop("GCLT_LAZY_EDGE", None)
+        os.environ.pop("GCLT_EDGE_STEP", None)
