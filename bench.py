@@ -484,8 +484,210 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     }
 
 
+def bench_gspmd_fallback(iters: int = 3):
+    """Perf number for the GSPMD-fallback model family (VERDICT r3 item 9):
+    a GAT-ENCODER 512x256 config — which the explicit shard_map path does
+    not cover (parallel/sharded_model guards route it to parallel/sharding's
+    batch-axis GSPMD) — trained for one step through that exact path on a
+    (1, 1) device mesh.  Bounds what "multi-chip training supported via
+    GSPMD" costs for the attention-encoder family at flagship scale."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.config import GATProps, GraphLayerType
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.models.weather import ModelGraphs, WeatherModel
+    from graphcast_lite_tpu.training.rollout import RolloutSpec, rollout_loss
+
+    cfg = presets.interaction_net_512x256()
+    enc = cfg.pipeline.encoder.gcn
+    enc_gat = enc.model_copy(update={
+        "layer_type": GraphLayerType.GATConv,
+        "gat_props": GATProps(num_heads=2, sparsity_thresholds=[0.1]),
+    })
+    cfg = cfg.model_copy(update={"pipeline": cfg.pipeline.model_copy(
+        update={"encoder": cfg.pipeline.encoder.model_copy(
+            update={"gcn": enc_gat})})})
+    lat, lon = presets.wb2_512x256_grid()
+    n_feat, obs, ar = (cfg.data.num_features_used, cfg.data.obs_window_used,
+                       cfg.max_ar_steps)
+    gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
+                         cfg.graph.grid2mesh_radius_query)
+    graphs = ModelGraphs.from_graph_set(gs)
+    model = WeatherModel(pipeline=cfg.pipeline, data=cfg.data,
+                         num_grid_nodes=gs.num_grid_nodes,
+                         num_mesh_nodes=gs.num_mesh_nodes)
+    g = gs.num_grid_nodes
+    spec = RolloutSpec(obs_window=obs, num_features=n_feat,
+                       use_residual=True, remat=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, g, obs, n_feat).astype(np.float32))
+    y = jnp.asarray(rng.randn(1, g, ar, n_feat).astype(np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x[0].reshape(g, obs * n_feat), graphs)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    graphs = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, graphs)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "space"))
+    bsh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def loss_fn(params, window, targets, graphs):
+        params_c = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
+
+        def model_fn(inp, m, t, p):
+            out, _ = jax.vmap(
+                lambda xi: model.apply(params_c, xi, graphs, m, t, p)
+            )(inp)
+            return out, None
+
+        loss, _ = rollout_loss(
+            model_fn, window.astype(jnp.bfloat16),
+            targets.astype(jnp.bfloat16), ar, spec)
+        return loss.astype(jnp.float32)
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1),
+        in_shardings=(rep, rep, bsh, bsh, rep),
+        out_shardings=(rep, rep, rep),
+    )
+    def step(params, opt_state, x, y, graphs):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, graphs)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    _sync(loss)
+    compile_s = time.time() - t0
+    params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    _sync(loss)
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, x, y, graphs)
+    _sync(loss)
+    dt = (time.time() - t0) / iters
+    return {
+        "gspmd_gat_encoder_train_step_ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "loss": float(loss),
+    }
+
+
+def bench_amortized_64x32(k: int = 8, iters: int = 8):
+    """Tunnel-dispatch amortization on the reference's benchmark grid: ONE
+    jitted program chains K AR-4 rollouts (each feeding the next window),
+    so the 64x32 workload pays 1/K of the per-dispatch tunnel cost
+    (round-3 measured 65.6 ms dispatch vs 42 ms device time).  Reports both
+    per-dispatch latency and amortized grid-points/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphcast_lite_tpu.training.rollout import rollout_predict
+
+    dtype = jnp.bfloat16
+    (fn, params, x, graphs, g, ar, gs, cfg, spec,
+     model) = build("64x32", dtype)
+
+    def chained(params, window, graphs):
+        for _ in range(k):
+            def model_fn(inp, m, t, p):
+                out, _ = model.apply(params, inp, graphs, m, t, p)
+                return out, None
+
+            preds = rollout_predict(model_fn, window, ar, spec)
+            window = jnp.concatenate(
+                [window[:, 1:, :], preds[:, -1:, :].astype(window.dtype)],
+                axis=1,
+            )
+        return window
+
+    jfn = jax.jit(chained)
+    t0 = time.time()
+    w = jfn(params, x, graphs)
+    _sync(w)
+    compile_s = time.time() - t0
+    w = jfn(params, w, graphs)
+    _sync(w)
+    t0 = time.time()
+    for _ in range(iters):
+        w = jfn(params, w, graphs)
+    _sync(w)
+    per_dispatch = (time.time() - t0) / iters
+    per_rollout = per_dispatch / k
+    return {
+        "rollouts_per_dispatch": k,
+        "dispatch_ms": round(per_dispatch * 1e3, 1),
+        "rollout_ms_amortized": round(per_rollout * 1e3, 2),
+        "grid_points_per_s_amortized": round(g * ar / per_rollout, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def train_matrix(cfgname: str = "512x256"):
+    """The doc-reproducibility matrix (VERDICT r3 item 6): each documented
+    train-step number is one cell here.  Env-flag variants are separate
+    subprocesses (the flags are trace-time)."""
+    import subprocess
+
+    cells = {
+        "default": {},
+        "no_save_hpre": {"GCLT_FUSED_SAVE_HPRE": "0", "GCLT_ENCDEC_REMAT": "0"},
+        "no_lazy_ln": {"GCLT_LAZY_EDGE": "0"},
+        "bwd_ell": {"GCLT_FUSED_BWD": "ell"},
+    }
+    out = {}
+    for name, env in cells.items():
+        e = dict(os.environ, **env)
+        r = subprocess.run(
+            [sys.executable, __file__, "train", cfgname], env=e,
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if line:
+            d = json.loads(line[-1])
+            out[name] = {"train_step_ms": d["extra"]["train_step_ms"],
+                         "loss": d["extra"]["loss"], "env": env}
+            print(f"[{name:>14}] {d['extra']['train_step_ms']:.1f} ms "
+                  f"loss={d['extra']['loss']:.6f}")
+        else:
+            out[name] = {"error": r.stdout[-200:] + r.stderr[-200:]}
+    print(json.dumps({"metric": f"train_matrix_{cfgname}", "value": 0.0,
+                      "unit": "ms", "vs_baseline": 0.0, "extra": out}))
+    return out
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only == "trainmatrix":
+        train_matrix(sys.argv[2] if len(sys.argv) > 2 else "512x256")
+        return
+    if only == "amortized":
+        res = bench_amortized_64x32()
+        print(json.dumps({
+            "metric": "grid_points_per_s_amortized_64x32",
+            "value": res["grid_points_per_s_amortized"],
+            "unit": "grid-points/s", "vs_baseline": 0.0, "extra": res,
+        }))
+        return
+    if only == "gspmd":
+        res = bench_gspmd_fallback()
+        print(json.dumps({
+            "metric": "gspmd_gat_encoder_train_step_ms_512x256",
+            "value": res["gspmd_gat_encoder_train_step_ms"],
+            "unit": "ms", "vs_baseline": 0.0, "extra": res,
+        }))
+        return
     if only == "train":
         cfgname = sys.argv[2] if len(sys.argv) > 2 else "512x256"
         res = bench_training(cfgname)
@@ -515,6 +717,12 @@ def main():
             extra["64x32_bf16"] = res_small
         except Exception as e:  # keep the headline alive on partial failure
             extra["64x32_error"] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            # K rollouts per dispatch: bounds the tunnel's share on the
+            # reference's benchmark grid (VERDICT r3 item 10).
+            extra["64x32_amortized"] = bench_amortized_64x32()
+        except Exception as e:
+            extra["64x32_amortized_error"] = f"{type(e).__name__}: {e}"[:300]
     if only in (None, "512x256"):
         try:
             res_big = bench_config("512x256", iters=8, dtype_name="bf16")

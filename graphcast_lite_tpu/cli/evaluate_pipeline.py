@@ -134,16 +134,23 @@ def main(argv=None):
     # --- post-processing rungs (correct the finished trajectory) ----------
     t2m, zsf = args.t2m_channel, args.zsurf_channel
 
+    sc = np.load(os.path.join(data_dir, "scalers.npz"))
+    sc_mean, sc_std = sc["mean"], sc["std"]
+
     def lapse_pp(pred_flat, _i):
         if zsf < 0 or zsf >= c or t2m >= c:
             return pred_flat
         p = pred_flat.reshape(g, -1, c).copy()
-        # model-implied elevation vs its own first-step elevation: corrects
-        # drift of the surface-geopotential channel over the rollout
-        elev = geopotential_to_elevation(p[:, :, zsf])
-        p[:, :, t2m] = apply_lapse_rate(
-            p[:, :, t2m], elev, elev[:, :1]
-        )
+        # Physical-units correction (the reference applies lapse in Kelvin
+        # on denormalized fields, evaluate_full_pipeline.py:184-201):
+        # elevation drift of the z_surf channel over the rollout cools t2m
+        # by 6.5 K/km — T_corr = T − lapse·(elev_k − elev_1), i.e. the
+        # trajectory's FIRST step is the reference elevation.
+        z_phys = p[:, :, zsf] * sc_std[zsf] + sc_mean[zsf]
+        elev = geopotential_to_elevation(z_phys)
+        t2m_phys = p[:, :, t2m] * sc_std[t2m] + sc_mean[t2m]
+        corr = apply_lapse_rate(t2m_phys, elev[:, :1], elev)
+        p[:, :, t2m] = (corr - sc_mean[t2m]) / sc_std[t2m]
         return p.reshape(pred_flat.shape)
 
     # MOS calibration: mean per-station, per-horizon t2m bias of the RAW

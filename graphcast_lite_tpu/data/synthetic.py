@@ -29,6 +29,10 @@ def generate_synthetic_dataset(
     forcing_channels: Optional[List[int]] = None,
     seed: int = 0,
     flat: bool = False,
+    regime_drift_m_per_step: float = 0.0,
+    drift_t2m_channel: int = 0,
+    drift_zsurf_channel: Optional[int] = None,
+    drift_start_frac: float = 0.8,
 ) -> str:
     """Write a synthetic chunked dataset; returns ``out_dir``.
 
@@ -36,6 +40,18 @@ def generate_synthetic_dataset(
     (deterministically advected, so a model can actually learn the step
     transition).  Static channels are time-constant fields; forcing channels
     are global sinusoids of time (known in advance, like hour-of-day).
+
+    ``regime_drift_m_per_step`` plants a REGIME SHIFT in the test period
+    (frames >= drift_start_frac·n_time): a smooth spatial pattern of
+    "surface elevation" change accrues each step, with the t2m channel
+    cooling by the standard-atmosphere lapse rate (6.5 K/km) times that
+    change, and (when ``drift_zsurf_channel`` is set) the z_surf channel
+    carrying the geopotential of the drifted elevation.  A model trained on
+    the stationary period systematically misses the per-step increment, so
+    the MOS / IDW / lapse post-processing rungs have real structure to
+    correct — the fixture behind tests/test_pipeline_ladder.py's
+    Δskill > 0 assertions (the reference's rungs are validated on real
+    station data; this is the synthetic equivalent with a known answer).
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -75,6 +91,21 @@ def generate_synthetic_dataset(
                 for i in range(3)
             )
             fields[t, :, :, c] = f.T + 10.0 * (c + 1)  # distinct channel offsets
+
+    if regime_drift_m_per_step:
+        # Smooth positive blob centered mid-domain (lon, lat layout here).
+        blob = (
+            np.exp(-(((lat2d - np.deg2rad(30.0)) / 0.5) ** 2))
+            * (0.5 + 0.5 * np.cos(lon2d - np.pi))
+        ).T  # [lon, lat], in [0, 1]
+        t0 = int(drift_start_frac * n_time)
+        lapse = 6.5e-3          # K/m
+        g0 = 9.80665
+        for t in range(t0, n_time):
+            delev = regime_drift_m_per_step * (t - t0 + 1) * blob
+            fields[t, :, :, drift_t2m_channel] -= lapse * delev
+            if drift_zsurf_channel is not None:
+                fields[t, :, :, drift_zsurf_channel] += g0 * delev
 
     mean = fields.reshape(-1, n_feat).mean(0)
     std = fields.reshape(-1, n_feat).std(0)

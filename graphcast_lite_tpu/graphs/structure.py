@@ -96,9 +96,17 @@ class Graph:
     t_neigh_edge: Optional[jnp.ndarray] = None
     t_neigh_mask: Optional[jnp.ndarray] = None
     # Pallas segment-sum chunk schedule (TE-aligned edge base + owning
-    # receiver tile of each chunk); None disables the kernel path.
+    # receiver tile of each chunk); None disables the kernel path.  The
+    # schedule is CLIPPED to the contiguous band of tiles that can own
+    # edges ([seg_tile_lo, seg_tile_hi) — bipartite graphs concentrate
+    # their receivers in one band; rows outside come back as exact zeros).
+    # ``seg_recv`` is the kernel-facing receiver array: identical to
+    # ``receivers`` except padding rows are repointed to the LAST REAL
+    # receiver so they stay inside the band (the public ``receivers``
+    # keeps the num_receivers-1 padding convention).
     seg_chunk_base: Optional[jnp.ndarray] = None
     seg_chunk_tile: Optional[jnp.ndarray] = None
+    seg_recv: Optional[jnp.ndarray] = None
     # Fused edge-step kernel schedule (ops.pallas_edge_step); None
     # disables that kernel.
     step_sched: Optional[StepSched] = None
@@ -109,6 +117,8 @@ class Graph:
     num_receivers: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
     seg_tile_receivers: int = struct.field(pytree_node=False, default=0)
+    seg_tile_lo: int = struct.field(pytree_node=False, default=0)
+    seg_tile_hi: int = struct.field(pytree_node=False, default=0)
 
     @property
     def padded_num_edges(self) -> int:
@@ -165,13 +175,19 @@ def build_graph(
         attr_full = np.zeros((e_pad, attr_sorted.shape[1]), dtype=np.float32)
         attr_full[:e] = attr_sorted
 
-    # Pallas segment-sum chunk schedule (over the padded, receiver-sorted
-    # layout; padding rows sit in the last tile's range and are neutralized
-    # by the pre-masked messages).
-    from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS, build_schedule
+    # Pallas segment-sum chunk schedule, clipped to the band of tiles real
+    # edges can own (padding rows are repointed to the last real receiver
+    # in the kernel-facing copy so they never widen the band).
+    from ..ops.pallas_segment import (
+        DEFAULT_TILE_RECEIVERS, build_schedule_clipped,
+    )
 
-    seg_chunk_base, seg_chunk_tile = build_schedule(
-        r_full, num_receivers, DEFAULT_TILE_RECEIVERS
+    seg_recv = r_full
+    if e > 0 and e < e_pad:
+        seg_recv = r_full.copy()
+        seg_recv[e:] = r_sorted[-1]
+    seg_chunk_base, seg_chunk_tile, seg_tlo, seg_thi = build_schedule_clipped(
+        seg_recv, num_receivers, DEFAULT_TILE_RECEIVERS
     )
 
     from ..ops.pallas_edge_step import build_step_schedule
@@ -231,9 +247,10 @@ def build_graph(
     from ..ops.gather import build_gather_aux
 
     # Sender gathers appear in every message-passing step; precompute the
-    # sort-aux that lets their adjoint run through the Pallas kernel.
-    senders_aux = build_gather_aux(s_full, int(num_nodes))
-    receivers_aux = build_gather_aux(r_full, num_receivers)
+    # sort-aux that lets their adjoint run through the Pallas kernel
+    # (n_real clips the adjoint schedules to the real target band).
+    senders_aux = build_gather_aux(s_full, int(num_nodes), n_real=e)
+    receivers_aux = build_gather_aux(r_full, num_receivers, n_real=e)
 
     return Graph(
         senders=jnp.asarray(s_full),
@@ -248,6 +265,9 @@ def build_graph(
         t_neigh_mask=t_neigh_mask,
         seg_chunk_base=jnp.asarray(seg_chunk_base),
         seg_chunk_tile=jnp.asarray(seg_chunk_tile),
+        seg_recv=jnp.asarray(seg_recv),
+        seg_tile_lo=seg_tlo,
+        seg_tile_hi=seg_thi,
         step_sched=step_sched,
         senders_aux=senders_aux,
         receivers_aux=receivers_aux,

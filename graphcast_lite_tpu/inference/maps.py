@@ -13,7 +13,15 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["pixel_metrics", "plot_metric_maps", "plot_flat_scatter"]
+__all__ = [
+    "pixel_metrics",
+    "plot_metric_maps",
+    "plot_flat_scatter",
+    "extract_field",
+    "plot_compare_algos",
+    "plot_diff",
+    "plot_triad",
+]
 
 
 def pixel_metrics(
@@ -91,6 +99,145 @@ def plot_flat_scatter(
     ax.set_xlabel("lon")
     ax.set_ylabel("lat")
     fig.colorbar(sc, ax=ax, shrink=0.85)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+# ------------------------------------------------------ comparison figures
+def extract_field(
+    preds: np.ndarray,            # [N, G, P·C] (the saved-predictions layout)
+    sample: int,
+    step: int,
+    channel: int,
+    num_channels: int,
+    n_lat: int,
+    n_lon: int,
+    mean: float = 0.0,
+    std: float = 1.0,
+) -> np.ndarray:
+    """One denormalized [n_lat, n_lon] map from a predictions array
+    (reference plot_compare_algos.py get_map; lat-major here — the
+    framework's single node order, see training/loss.py)."""
+    n, g, pc = preds.shape
+    p = pc // num_channels
+    fld = preds.reshape(n, g, p, num_channels)[sample, :, step, channel]
+    return (fld * std + mean).reshape(n_lat, n_lon)
+
+
+def _imshow_panel(ax, fig, field, lats, lons, title, cmap="RdYlBu_r",
+                  vmin=None, vmax=None):
+    im = ax.pcolormesh(lons, lats, field, cmap=cmap, shading="auto",
+                       vmin=vmin, vmax=vmax)
+    ax.set_title(title, fontsize=10)
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    return im
+
+
+def plot_compare_algos(
+    truth: np.ndarray,                     # [n_lat, n_lon]
+    algo_fields: Dict[str, np.ndarray],    # name -> [n_lat, n_lon]
+    lats: np.ndarray,
+    lons: np.ndarray,
+    out_path: str,
+    title: str = "",
+) -> str:
+    """Truth + one panel per algorithm on a shared color scale, plus an
+    error row (~ reference scripts/plot_compare_algos.py: truth vs
+    nudge vs OI maps with per-algo headline numbers in the titles — pass
+    them inside the dict keys)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(algo_fields)
+    ncol = 1 + len(names)
+    fig, axes = plt.subplots(2, ncol, figsize=(4.2 * ncol, 6),
+                             constrained_layout=True)
+    if ncol == 1:
+        axes = axes.reshape(2, 1)
+    allv = np.concatenate([truth.ravel()] +
+                          [f.ravel() for f in algo_fields.values()])
+    vmin, vmax = np.percentile(allv, [1, 99])
+    _imshow_panel(axes[0, 0], fig, truth, lats, lons, f"truth {title}",
+                  vmin=vmin, vmax=vmax)
+    axes[1, 0].axis("off")
+    errs = {k: f - truth for k, f in algo_fields.items()}
+    emax = max(np.abs(e).max() for e in errs.values()) or 1.0
+    for j, name in enumerate(names, start=1):
+        _imshow_panel(axes[0, j], fig, algo_fields[name], lats, lons, name,
+                      vmin=vmin, vmax=vmax)
+        _imshow_panel(axes[1, j], fig, errs[name], lats, lons,
+                      f"{name} − truth", cmap="coolwarm",
+                      vmin=-emax, vmax=emax)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+def plot_diff(
+    truth: np.ndarray,
+    base: np.ndarray,
+    exp: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    out_path: str,
+    labels: Sequence[str] = ("base", "experiment"),
+    title: str = "",
+) -> str:
+    """4-panel truth / base / experiment / (experiment − base) figure
+    (~ reference scripts/plot_diff.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7), constrained_layout=True)
+    allv = np.concatenate([truth.ravel(), base.ravel(), exp.ravel()])
+    vmin, vmax = np.percentile(allv, [1, 99])
+    _imshow_panel(axes[0, 0], fig, truth, lats, lons, f"truth {title}",
+                  vmin=vmin, vmax=vmax)
+    _imshow_panel(axes[0, 1], fig, base, lats, lons, labels[0],
+                  vmin=vmin, vmax=vmax)
+    _imshow_panel(axes[1, 0], fig, exp, lats, lons, labels[1],
+                  vmin=vmin, vmax=vmax)
+    d = exp - base
+    dmax = np.abs(d).max() or 1.0
+    _imshow_panel(axes[1, 1], fig, d, lats, lons,
+                  f"{labels[1]} − {labels[0]}", cmap="coolwarm",
+                  vmin=-dmax, vmax=dmax)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+def plot_triad(
+    truth: np.ndarray,
+    pred: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    out_path: str,
+    title: str = "",
+) -> str:
+    """truth / prediction / error triad (~ reference scripts/plot_triad.py,
+    plot_final_trio.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(14, 3.6), constrained_layout=True)
+    allv = np.concatenate([truth.ravel(), pred.ravel()])
+    vmin, vmax = np.percentile(allv, [1, 99])
+    _imshow_panel(axes[0], fig, truth, lats, lons, f"truth {title}",
+                  vmin=vmin, vmax=vmax)
+    _imshow_panel(axes[1], fig, pred, lats, lons, f"prediction {title}",
+                  vmin=vmin, vmax=vmax)
+    err = pred - truth
+    emax = np.abs(err).max() or 1.0
+    _imshow_panel(axes[2], fig, err, lats, lons, "error", cmap="coolwarm",
+                  vmin=-emax, vmax=emax)
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return out_path

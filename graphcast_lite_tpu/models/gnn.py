@@ -444,10 +444,16 @@ def _use_mega_edge_path(graph: Graph, hidden_dim: int, edge_dim: int,
 
     if os.environ.get("GCLT_MEGA_EDGE", "0") in ("0", "false", "off"):
         return False
+    ntiles_full = (
+        (graph.num_receivers + graph.seg_tile_receivers - 1)
+        // max(graph.seg_tile_receivers, 1)
+    )
     return (
         not _TRAINING_TRACE.get()
         and supports_edge_mlp_segment(graph, hidden_dim, edge_dim, activation)
         and graph.num_receivers == graph.num_nodes
+        and graph.seg_tile_lo == 0
+        and graph.seg_tile_hi in (0, ntiles_full)  # no clipped-band support
         and seg_ops.use_pallas_segment_sum()
     )
 

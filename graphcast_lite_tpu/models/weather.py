@@ -98,17 +98,18 @@ class ModelGraphs:
 
 
 def _encdec_remat() -> bool:
-    """Trace-time policy: remat the encoder/decoder blocks
-    (GCLT_ENCDEC_REMAT=1).  Off by default — dropping the fused edge unit's
-    h_pre residual freed enough HBM that the flagship 512x256 AR-4 BPTT fits
-    without it (15.8G -> ~14.3G); turn on for larger grids/batches, trading
-    ~130 ms/step of recompute for ~2 GB."""
+    """Trace-time policy: remat the encoder/decoder blocks.  ON by default:
+    it funds the ~1.5 GB that saving the fused edge unit's h_pre residual
+    costs (the faster-backward default, ops/fused_edge.py), and the combo
+    measures faster end-to-end (1516 vs 1555 ms/512x256 train step) because
+    the enc/dec recompute is cheaper than the h_pre recompute it displaces.
+    GCLT_ENCDEC_REMAT=0 turns it off (pair with GCLT_FUSED_SAVE_HPRE=0)."""
     import os
 
     v = os.environ.get("GCLT_ENCDEC_REMAT")
     if v is not None:
         return v not in ("0", "false", "off")
-    return False
+    return True
 
 
 def graph_layer_output_dim(cfg: GraphBlock, input_dim: int) -> int:

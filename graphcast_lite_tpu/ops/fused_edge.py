@@ -99,6 +99,12 @@ class _Static(NamedTuple):
     tile_receivers: int
     activation: str
     interpret: bool
+    # Clipped-band schedule bounds (build_schedule_clipped): receiver-side
+    # and sender-side tile windows; (0, 0) = full range.
+    r_tile_lo: int = 0
+    r_tile_hi: int = 0
+    s_tile_lo: int = 0
+    s_tile_hi: int = 0
     # Backward-scatter formulation: "ell" = dense ELL-table gathers (both
     # node-space scatters become [R, K, H] einsum-gathers over the graph's
     # receiver/sender tables — the multimesh has K = 12 both ways, so no
@@ -171,6 +177,12 @@ def _edge_tail(static, h_pre, w2, b2, mask, receivers,
         and static.activation in ("swish", "silu", "relu")
         and h_pre.shape[-1] % 128 == 0
         and w2.shape[-1] % 128 == 0
+        and static.r_tile_lo == 0
+        and static.r_tile_hi in (
+            0,
+            (static.num_receivers + static.tile_receivers - 1)
+            // static.tile_receivers,
+        )  # mega has no clipped-band support; full-band graphs only
     ):
         from .pallas_edge_mlp import edge_mlp_segment
 
@@ -183,6 +195,7 @@ def _edge_tail(static, h_pre, w2, b2, mask, receivers,
     agg_sum = segment_sum_sorted(
         edge_update * mask[:, None], receivers, r_chunk_base, r_chunk_tile,
         static.num_receivers, static.tile_receivers, static.interpret,
+        tile_lo=static.r_tile_lo, tile_hi=static.r_tile_hi,
     )
     return edge_update, agg_sum
 
@@ -208,11 +221,12 @@ def _fwd(static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
     )
     agg = agg_sum / jnp.maximum(deg, 1.0)[:, None]
     # h_pre ([E, H]) is the largest candidate residual — 1.5 GB across a
-    # 12-step no-remat scan at 512x256.  GCLT_FUSED_SAVE_HPRE=1 keeps it
-    # (faster backward, measured ~200 ms/step at 512x256, at +1.5 GB HBM —
-    # pair with GCLT_ENCDEC_REMAT=1 to stay under budget); default saves
-    # the memory and recomputes in _bwd.
-    h_saved = h_pre if os.environ.get("GCLT_FUSED_SAVE_HPRE") == "1" else None
+    # 12-step no-remat scan at 512x256.  Saved by DEFAULT (faster backward;
+    # 1516 vs 1555 ms/step measured at 512x256 when paired with the
+    # default-on encoder/decoder remat that funds the HBM);
+    # GCLT_FUSED_SAVE_HPRE=0 recomputes in _bwd instead (−1.5 GB).
+    h_saved = (h_pre if os.environ.get("GCLT_FUSED_SAVE_HPRE", "1")
+               not in ("0", "false", "off") else None)
     res = (x, e_attr, mask, w1s, w1r, w1e, b1, w2,
            deg, senders, receivers, r_chunk_base, r_chunk_tile,
            s_perm, s_sorted, s_chunk_base, s_chunk_tile,
@@ -264,11 +278,13 @@ def _bwd(static, res, cot):
         d_xr = segment_sum_sorted(
             d_hp, receivers, r_chunk_base, r_chunk_tile,
             static.num_receivers, static.tile_receivers, static.interpret,
+            tile_lo=static.r_tile_lo, tile_hi=static.r_tile_hi,
         )
         d_xs = segment_sum_sorted(
             jnp.take(d_hp, s_perm, axis=0), s_sorted,
             s_chunk_base, s_chunk_tile,
             static.num_nodes, static.tile_receivers, static.interpret,
+            tile_lo=static.s_tile_lo, tile_hi=static.s_tile_hi,
         )
     d_x = d_xs @ w1s.T + d_xr @ w1r.T
     d_w1s = x.T @ d_xs
@@ -299,6 +315,10 @@ class _StaticPre(NamedTuple):
     tile_receivers: int
     activation: str
     interpret: bool
+    r_tile_lo: int = 0
+    r_tile_hi: int = 0
+    s_tile_lo: int = 0
+    s_tile_hi: int = 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -370,10 +390,12 @@ def _pre_bwd(static, res, cot):
     d_xr = segment_sum_sorted(
         d_hp, receivers, r_chunk_base, r_chunk_tile,
         static.num_receivers, static.tile_receivers, static.interpret,
+        tile_lo=static.r_tile_lo, tile_hi=static.r_tile_hi,
     )
     d_xs = segment_sum_sorted(
         jnp.take(d_hp, s_perm, axis=0), s_sorted, s_chunk_base, s_chunk_tile,
         static.num_sender_rows, static.tile_receivers, static.interpret,
+        tile_lo=static.s_tile_lo, tile_hi=static.s_tile_hi,
     )
 
     def int_zero(a):
@@ -418,14 +440,20 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
         tile_receivers=graph.seg_tile_receivers,
         activation=activation,
         interpret=jax.default_backend() == "cpu",
+        r_tile_lo=graph.seg_tile_lo,
+        r_tile_hi=graph.seg_tile_hi,
+        s_tile_lo=aux.tile_lo,
+        s_tile_hi=aux.tile_hi,
         bwd_mode=mode,
     )
     dummy_t = jnp.zeros((1, 1), jnp.int32)
     dummy_m = jnp.zeros((1, 1), mask.dtype)
     use_ell = mode == "ell"
+    seg_recv = (graph.seg_recv if graph.seg_recv is not None
+                else graph.receivers)
     return _edge_pipeline(
         static, x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2,
-        graph.senders, graph.receivers,
+        graph.senders, seg_recv,
         graph.seg_chunk_base, graph.seg_chunk_tile,
         aux.perm, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
         graph.neigh_edge if use_ell else dummy_t,

@@ -39,17 +39,30 @@ class GatherAux:
     chunk_tile: jnp.ndarray
     num_targets: int = struct.field(pytree_node=False, default=0)
     tile_receivers: int = struct.field(pytree_node=False, default=0)
+    # Clipped-band bounds (ops.pallas_segment.build_schedule_clipped):
+    # rows outside [tile_lo, tile_hi) are exact zeros in the adjoint.
+    tile_lo: int = struct.field(pytree_node=False, default=0)
+    tile_hi: int = struct.field(pytree_node=False, default=0)
 
 
 def build_gather_aux(
-    idx: np.ndarray, num_targets: int, tile_receivers: int = 256
+    idx: np.ndarray, num_targets: int, tile_receivers: int = 256,
+    n_real: int | None = None,
 ) -> GatherAux:
-    from .pallas_segment import build_schedule
+    """``n_real``: number of REAL edges; padding entries (rows >= n_real)
+    are repointed inside the real target band so bipartite graphs keep a
+    tight clipped schedule (their zero adjoints land on a real row and are
+    exact zeros either way)."""
+    from .pallas_segment import build_schedule_clipped
 
-    idx = np.asarray(idx, np.int32)
+    idx = np.asarray(idx, np.int32).copy()
+    if n_real is not None and 0 < n_real < idx.shape[0]:
+        idx[n_real:] = idx[:n_real].min()
     perm = np.argsort(idx, kind="stable").astype(np.int32)
     idx_sorted = idx[perm]
-    base, tile = build_schedule(idx_sorted, num_targets, tile_receivers)
+    base, tile, t_lo, t_hi = build_schedule_clipped(
+        idx_sorted, num_targets, tile_receivers
+    )
     return GatherAux(
         idx=jnp.asarray(idx),
         perm=jnp.asarray(perm),
@@ -58,6 +71,8 @@ def build_gather_aux(
         chunk_tile=jnp.asarray(tile),
         num_targets=int(num_targets),
         tile_receivers=tile_receivers,
+        tile_lo=t_lo,
+        tile_hi=t_hi,
     )
 
 
@@ -79,6 +94,7 @@ def _gather_bwd(res, g):
         g_sorted, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
         aux.num_targets, aux.tile_receivers,
         interpret=jax.default_backend() == "cpu",
+        tile_lo=aux.tile_lo, tile_hi=aux.tile_hi,
     )
     return dx, None
 

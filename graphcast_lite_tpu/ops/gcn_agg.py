@@ -44,6 +44,10 @@ class _Static(NamedTuple):
     tile_receivers: int
     bwd_mode: str          # "tell" | "pallas"
     interpret: bool
+    r_tile_lo: int = 0     # clipped-band bounds (build_schedule_clipped)
+    r_tile_hi: int = 0
+    s_tile_lo: int = 0
+    s_tile_hi: int = 0
 
 
 def supports_gcn_aggregate(graph, features: int) -> bool:
@@ -90,6 +94,7 @@ def _fwd(static, x, scale, senders, receivers, r_base, r_tile,
     agg = segment_sum_sorted(
         msgs, receivers, r_base, r_tile,
         static.num_receivers, static.tile_receivers, static.interpret,
+        tile_lo=static.r_tile_lo, tile_hi=static.r_tile_hi,
     )
     res = (scale, senders, receivers, r_base, r_tile,
            s_perm, s_sorted, s_base, s_tile, t_recv, t_edge, t_mask)
@@ -113,6 +118,7 @@ def _bwd(static, res, d_agg):
         d_x = segment_sum_sorted(
             jnp.take(d_msgs, s_perm, axis=0), s_sorted, s_base, s_tile,
             static.num_nodes, static.tile_receivers, static.interpret,
+            tile_lo=static.s_tile_lo, tile_hi=static.s_tile_hi,
         )
 
     def int_zero(a):
@@ -146,13 +152,19 @@ def gcn_aggregate(x: jnp.ndarray, scale: jnp.ndarray, graph) -> jnp.ndarray:
         tile_receivers=graph.seg_tile_receivers,
         bwd_mode="tell" if use_tell else "pallas",
         interpret=jax.default_backend() == "cpu",
+        r_tile_lo=graph.seg_tile_lo,
+        r_tile_hi=graph.seg_tile_hi,
+        s_tile_lo=aux.tile_lo if aux is not None else 0,
+        s_tile_hi=aux.tile_hi if aux is not None else 0,
     )
     e = graph.senders.shape[0]
     dummy_e = jnp.zeros((1,), jnp.int32)
     dummy_t = jnp.zeros((1, 1), jnp.int32)
     dummy_tm = jnp.zeros((1, 1), scale.dtype)
+    seg_recv = (graph.seg_recv if graph.seg_recv is not None
+                else graph.receivers)
     return _gcn_agg(
-        static, x, scale, graph.senders, graph.receivers,
+        static, x, scale, graph.senders, seg_recv,
         graph.seg_chunk_base, graph.seg_chunk_tile,
         aux.perm if aux is not None else dummy_e,
         aux.idx_sorted if aux is not None else dummy_e,

@@ -111,6 +111,36 @@ def build_schedule(
     return build_chunk_schedule(starts, ends)
 
 
+def build_schedule_clipped(
+    receivers_sorted: np.ndarray,
+    num_receivers: int,
+    tile_receivers: int = DEFAULT_TILE_RECEIVERS,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Like :func:`build_schedule`, but CLIPPED to the contiguous band of
+    tiles that can own edges: bipartite graphs in the unified node space
+    concentrate their receivers in one band (G2M: mesh rows only; M2G:
+    grid rows only), so most receiver tiles are empty — each would cost a
+    full inert grid step (~2.5 µs on v5e; 670 of the encoder's 871 chunks
+    at 512x256).  Returns (chunk_base, chunk_tile REBASED to tile_lo,
+    tile_lo, tile_hi): the kernel computes rows for tiles
+    [tile_lo, tile_hi) only and the caller zero-pads the rest
+    (``segment_sum_sorted(..., tile_lo=, tile_hi=)``).  Empty tiles INSIDE
+    the band keep their inert chunks (negative rebased ids)."""
+    receivers_sorted = np.asarray(receivers_sorted)
+    starts, ends, ntiles, _ = build_tile_offsets(
+        receivers_sorted, num_receivers, tile_receivers
+    )
+    counts = np.maximum(np.asarray(ends, np.int64)
+                        - np.asarray(starts, np.int64), 0)
+    nonempty = np.flatnonzero(counts > 0)
+    if nonempty.size == 0:
+        t_lo, t_hi = 0, 1
+    else:
+        t_lo, t_hi = int(nonempty[0]), int(nonempty[-1]) + 1
+    base, tile = build_chunk_schedule(starts[t_lo:t_hi], ends[t_lo:t_hi])
+    return base, tile, t_lo, t_hi
+
+
 def build_chunk_schedule(
     starts: np.ndarray,
     ends: np.ndarray,
@@ -259,7 +289,7 @@ def _kernel(
 
 @functools.lru_cache(maxsize=None)
 def _vmappable_impl(num_receivers: int, tile_receivers: int,
-                    interpret: bool):
+                    interpret: bool, tile_lo: int = 0, tile_hi: int = 0):
     """The kernel impl with a custom batching rule (statics closed over).
 
     ``pallas_call`` has no usable TPU vmap lowering for this kernel (ANY-
@@ -285,7 +315,8 @@ def _vmappable_impl(num_receivers: int, tile_receivers: int,
 
     def call(msgs, recv1d, chunk_base, chunk_tile):
         return _segment_sum_impl(msgs, recv1d, chunk_base, chunk_tile,
-                                 num_receivers, tile_receivers, interpret)
+                                 num_receivers, tile_receivers, interpret,
+                                 tile_lo, tile_hi)
 
     entry = custom_vmap(call)
 
@@ -336,7 +367,7 @@ def _vmappable_impl(num_receivers: int, tile_receivers: int,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
 def segment_sum_sorted(
     msgs: jnp.ndarray,            # [E_pad, F], sorted by receiver, pre-masked
@@ -346,6 +377,8 @@ def segment_sum_sorted(
     num_receivers: int,
     tile_receivers: int = DEFAULT_TILE_RECEIVERS,
     interpret: bool = False,
+    tile_lo: int = 0,
+    tile_hi: int = 0,
 ) -> jnp.ndarray:
     """out[r] = Σ_{e: recv[e]==r} msgs[e]; accumulation in float32; returns
     [num_receivers, F] in msgs.dtype.
@@ -354,21 +387,29 @@ def segment_sum_sorted(
     the cotangent by receiver id; padded edges read a valid row and their
     gradient dies in the caller\'s mask multiply) AND vmappable over msgs
     (batch folded into the feature axis — see ``_vmappable_impl``).
+
+    ``tile_lo``/``tile_hi`` (with a schedule from
+    :func:`build_schedule_clipped`) restrict the kernel to the contiguous
+    band of tiles that can own edges; rows outside are exact zeros, padded
+    in by XLA (bipartite graphs skip their ~500-670 inert chunks).
     """
     return _vmappable_impl(int(num_receivers), int(tile_receivers),
-                           bool(interpret))(msgs, recv1d, chunk_base,
-                                            chunk_tile)
+                           bool(interpret), int(tile_lo),
+                           int(tile_hi))(msgs, recv1d, chunk_base,
+                                         chunk_tile)
 
 
 def _segment_sum_fwd(msgs, recv1d, chunk_base, chunk_tile, num_receivers,
-                     tile_receivers, interpret):
+                     tile_receivers, interpret, tile_lo, tile_hi):
     out = _vmappable_impl(int(num_receivers), int(tile_receivers),
-                          bool(interpret))(msgs, recv1d, chunk_base,
-                                           chunk_tile)
+                          bool(interpret), int(tile_lo),
+                          int(tile_hi))(msgs, recv1d, chunk_base,
+                                        chunk_tile)
     return out, (recv1d,)
 
 
-def _segment_sum_bwd(num_receivers, tile_receivers, interpret, res, g):
+def _segment_sum_bwd(num_receivers, tile_receivers, interpret, tile_lo,
+                     tile_hi, res, g):
     (recv1d,) = res
     gmsgs = jnp.take(g, jnp.clip(recv1d, 0, num_receivers - 1), axis=0)
     return gmsgs, None, None, None
@@ -379,7 +420,8 @@ segment_sum_sorted.defvjp(_segment_sum_fwd, _segment_sum_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_receivers", "tile_receivers", "interpret"),
+    static_argnames=("num_receivers", "tile_receivers", "interpret",
+                     "tile_lo", "tile_hi"),
 )
 def _segment_sum_impl(
     msgs: jnp.ndarray,
@@ -389,11 +431,20 @@ def _segment_sum_impl(
     num_receivers: int,
     tile_receivers: int = DEFAULT_TILE_RECEIVERS,
     interpret: bool = False,
+    tile_lo: int = 0,
+    tile_hi: int = 0,
 ) -> jnp.ndarray:
     e_pad, f = msgs.shape
     tr, te = tile_receivers, TILE_EDGES
-    ntiles = (num_receivers + tr - 1) // tr
+    ntiles_full = (num_receivers + tr - 1) // tr
+    clipped = tile_hi > 0
+    if not clipped:
+        tile_lo, tile_hi = 0, ntiles_full
+    ntiles = tile_hi - tile_lo
     r_pad = ntiles * tr
+    # Receiver ids arrive ABSOLUTE; rebase into the clipped band so the
+    # kernel's local = recv - tile*tr test stays correct.
+    recv_for_kernel = recv1d - tile_lo * tr if tile_lo else recv1d
     nc = chunk_base.shape[0]
     n_buf = int(np.clip(
         _SCRATCH_BUDGET_BYTES // (te * f * msgs.dtype.itemsize), 2, _N_BUF
@@ -407,9 +458,10 @@ def _segment_sum_impl(
     e_ext = max((e_pad + te - 1) // te, 1) * te
     if e_ext != e_pad:
         msgs_x = jnp.pad(msgs, ((0, e_ext - e_pad), (0, 0)))
-        recv_x = jnp.pad(recv1d, (0, e_ext - e_pad), constant_values=-1)
+        recv_x = jnp.pad(recv_for_kernel, (0, e_ext - e_pad),
+                         constant_values=-1)
     else:
-        msgs_x, recv_x = msgs, recv1d
+        msgs_x, recv_x = msgs, recv_for_kernel
     recv2d = recv_x.reshape(e_ext // te, 1, te)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -448,4 +500,11 @@ def _segment_sum_impl(
             transcendentals=0,
         ),
     )(chunk_base, chunk_tile, msgs_x, recv2d)
-    return out[:num_receivers].astype(msgs.dtype)
+    if not clipped:
+        return out[:num_receivers].astype(msgs.dtype)
+    # Clipped band: rows outside [tile_lo·tr, tile_hi·tr) are exact zeros.
+    lead = tile_lo * tr
+    keep = min(r_pad, num_receivers - lead)
+    out = jnp.pad(out[:keep],
+                  ((lead, num_receivers - lead - keep), (0, 0)))
+    return out.astype(msgs.dtype)

@@ -92,13 +92,18 @@ def aggregate_sum(
     ):
         from .pallas_segment import segment_sum_sorted
 
+        recv = (graph.seg_recv if graph.seg_recv is not None
+                else graph.receivers)
         return segment_sum_sorted(
             masked,
-            graph.receivers,
+            recv,
             graph.seg_chunk_base,
             graph.seg_chunk_tile,
             graph.num_receivers,
             graph.seg_tile_receivers,
+            interpret=jax.default_backend() == "cpu",
+            tile_lo=graph.seg_tile_lo,
+            tile_hi=graph.seg_tile_hi,
         )
     return jax.ops.segment_sum(
         masked,

@@ -227,6 +227,7 @@ def predict_scaling_efficiency(
     mp_steps: int = 12,
     ici_gbps: float = 45.0,
     dtype_bytes: int = 2,
+    overhead_frac: Optional[float] = None,
 ) -> Dict[str, float]:
     """Analytic worst-case (zero-overlap) scaling-efficiency estimate.
 
@@ -236,7 +237,13 @@ def predict_scaling_efficiency(
       compute_ms  = t1_step_ms / S          (work splits evenly: the node
                                              partitions are count-balanced)
       comm_ms     = Σ_graph  exchanges × rows/exchange × hidden × b / ICI
-      efficiency  = compute / (compute + comm)
+      efficiency  = compute / (compute + comm) / (1 + overhead_frac)
+
+    ``overhead_frac`` is the MEASURED sharded-body overhead vs the
+    unsharded step (shard_map machinery, halo indexing, per-shard kernel
+    differences), from bench.py's S=1 run — folding it in gives the
+    composite worst-case number instead of the best-case comm-only corner
+    (VERDICT r3 missing #1).  When None, only the comm model applies.
 
     Exchange counts per train step: the processor halo runs every MP step,
     fwd + its transpose in bwd (the outer AR remat replays fwd once more):
@@ -272,13 +279,17 @@ def predict_scaling_efficiency(
     comm_ms = total_bytes / s / (ici_gbps * 1e9) * 1e3
     compute_ms = t1_step_ms / s
     eff = compute_ms / (compute_ms + comm_ms)
-    return {
+    out = {
         "S": s,
         "efficiency": round(eff, 4),
         "compute_ms": round(compute_ms, 2),
         "comm_ms": round(comm_ms, 2),
         "comm_bytes_per_step": int(total_bytes),
     }
+    if overhead_frac is not None:
+        out["overhead_frac"] = round(float(overhead_frac), 4)
+        out["efficiency_composite"] = round(eff / (1.0 + overhead_frac), 4)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -66,14 +66,19 @@ def carry_forward(
     spec: RolloutSpec,
 ) -> jnp.ndarray:
     """Overwrite static channels from the last input frame and forcing
-    channels from the ground-truth target (vectorized channel select)."""
+    channels from the ground-truth target (vectorized channel select).
+
+    Masks are cast to ``out.dtype`` (0/1 are exact in bf16): a float32 mask
+    would silently promote the whole AR window — and with it every model
+    latent of subsequent steps — back to fp32 under mixed precision, which
+    also breaks the processor scan's carry dtypes at AR >= 2."""
     sm = spec.static_ch_mask()
     if sm is not None:
-        sm = jnp.asarray(sm)
+        sm = jnp.asarray(sm, out.dtype)
         out = out * (1 - sm) + last_input * sm
     fm = spec.forcing_ch_mask()
     if fm is not None and target is not None:
-        fm = jnp.asarray(fm)
+        fm = jnp.asarray(fm, out.dtype)
         out = out * (1 - fm) + target * fm
     return out
 

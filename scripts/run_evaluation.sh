@@ -32,4 +32,19 @@ if n_lat and n_lon:
     print(f"maps -> {exp}/metric_maps.png")
 print(f"skill {rep['skill']*100:.2f}%")
 PY
+
+# Comparison figures (raw vs DA) + MOS/IDW parameter sweep
+# (~ reference plot_compare_algos.py / plot_diff.py / mos_idw_sweep.py).
+DATA=$(python -c "import json;print(json.load(open('$EXP/config.json'))['data_dir'])")
+python -m graphcast_lite_tpu.cli.predict "$EXP" --ar-steps "$AR" \
+    --da nudging --da-alpha 0.5 --obs-sparsity 0.1 \
+    --save-preds "$EXP/predictions_nudging.npz" >/dev/null || true
+if [ -f "$EXP/predictions_nudging.npz" ]; then
+  python -m graphcast_lite_tpu.cli.plot_compare --data-dir "$DATA" \
+      --out-dir "$EXP/figs" --preds "raw=$EXP/predictions.npz" \
+      --preds "nudging=$EXP/predictions_nudging.npz" | tee -a "$EXP/eval.log"
+fi
+python -m graphcast_lite_tpu.cli.mos_idw_sweep \
+    --preds "$EXP/predictions.npz" --data-dir "$DATA" \
+    | tee -a "$EXP/eval.log" || true
 echo "[evaluation] complete"

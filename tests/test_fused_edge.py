@@ -54,8 +54,15 @@ def test_forward_and_grad_parity(rng, d, de, h):
     b1 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
     w2 = jnp.asarray(rng.randn(h, de).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.randn(de).astype(np.float32) * 0.1)
-    # Random projections so the scalar loss exercises every output element.
-    p_eu = jnp.asarray(rng.randn(e_pad, de).astype(np.float32))
+    # Random projections so the scalar loss exercises every REAL output
+    # element.  Padded edge rows are excluded: their values/cotangents are
+    # unspecified by contract (every real consumer masks them; the clipped
+    # kernel schedules repoint their ids into the live band, so their
+    # garbage differs from the oracle's garbage).
+    n_real = g.num_edges
+    pad_keep = np.zeros((e_pad, 1), np.float32)
+    pad_keep[:n_real] = 1.0
+    p_eu = jnp.asarray(rng.randn(e_pad, de).astype(np.float32) * pad_keep)
     p_agg = jnp.asarray(rng.randn(g.num_receivers, de).astype(np.float32))
 
     def loss(fn, *args):
@@ -66,9 +73,11 @@ def test_forward_and_grad_parity(rng, d, de, h):
 
     out_f = edge_pipeline(*args, g, activation="swish")
     out_r = reference_pipeline(*args, g)
-    for a, b in zip(out_f, out_r):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f[0])[:n_real],
+                               np.asarray(out_r[0])[:n_real],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f[1]), np.asarray(out_r[1]),
+                               atol=2e-4, rtol=2e-4)
 
     grad_f = jax.grad(
         lambda *a: loss(lambda *aa: edge_pipeline(*aa, g, activation="swish"),
@@ -120,9 +129,15 @@ def test_layer_param_compat_and_forward(rng, monkeypatch):
                                       err_msg=str(ks))
 
     out_fused = layer.apply(params_split, x, e_attr, g)
-    for a, b in zip(out_fused, out_split):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-4)
+    n_real = g.num_edges
+    # node outputs fully; edge outputs on REAL rows (padded rows are
+    # unspecified by contract — masked everywhere downstream)
+    np.testing.assert_allclose(np.asarray(out_fused[0]),
+                               np.asarray(out_split[0]),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_fused[1])[:n_real],
+                               np.asarray(out_split[1])[:n_real],
+                               atol=2e-4, rtol=2e-4)
 
 
 def test_training_trace_gates_fused_path(monkeypatch):

@@ -136,3 +136,61 @@ def test_vmap_grouping_respects_vmem_budget():
     out = jax.vmap(one)(msgs)
     ref = np.stack([np.asarray(one(msgs[i])) for i in range(b)])
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_clipped_band_parity(rng):
+    """Bipartite-style receiver distributions (all receivers in a narrow
+    band of a large target space): the clipped schedule must skip the
+    empty-tile chunks and return exact zeros outside the band."""
+    from graphcast_lite_tpu.ops.pallas_segment import build_schedule_clipped
+
+    e, r, f = 5000, 4000, 128
+    recv = np.sort(rng.randint(1100, 1900, e)).astype(np.int32)  # mid band
+    e_pad = ((e + 127) // 128) * 128
+    m = np.zeros((e_pad, f), np.float32)
+    m[:e] = rng.randn(e, f)
+    r1 = np.full((e_pad,), recv[-1], np.int32)   # padding INSIDE the band
+    r1[:e] = recv
+    base, tile, t_lo, t_hi = build_schedule_clipped(r1, r, 256)
+    assert t_lo >= 4 and t_hi <= 8, (t_lo, t_hi)   # band clipped
+    out = segment_sum_sorted(
+        jnp.asarray(m), jnp.asarray(r1), jnp.asarray(base),
+        jnp.asarray(tile), r, 256, interpret=True,
+        tile_lo=t_lo, tile_hi=t_hi,
+    )
+    assert out.shape == (r, f)
+    expect = jax.ops.segment_sum(jnp.asarray(m), jnp.asarray(r1),
+                                 num_segments=r)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-4, rtol=1e-4)
+    # rows outside the band are exact zeros
+    assert np.all(np.asarray(out[: t_lo * 256]) == 0)
+    assert np.all(np.asarray(out[t_hi * 256:]) == 0)
+
+
+def test_clipped_band_through_graph(rng):
+    """build_graph's clipped schedule + seg_recv repointing: a bipartite
+    graph (receivers in the upper node band) aggregates correctly through
+    ops.segment.aggregate_sum's kernel path."""
+    import os
+
+    from graphcast_lite_tpu.graphs.structure import build_graph
+    from graphcast_lite_tpu.ops import segment as seg_ops
+
+    n, e = 4000, 20000
+    s = rng.randint(0, 1000, e)           # senders low band
+    r = rng.randint(3000, 4000, e)        # receivers upper band
+    g = build_graph(s, r, num_nodes=n, build_ell=False, pad_multiple=128)
+    assert g.seg_tile_lo >= 11, g.seg_tile_lo
+    msgs = jnp.asarray(rng.randn(g.padded_num_edges, 128).astype(np.float32))
+    os.environ["GCLT_PALLAS_SEGMENT"] = "1"
+    try:
+        out = seg_ops.aggregate_sum(msgs, g)
+    finally:
+        os.environ.pop("GCLT_PALLAS_SEGMENT", None)
+    expect = jax.ops.segment_sum(
+        msgs * g.edge_mask[:, None], g.receivers,
+        num_segments=g.num_receivers, indices_are_sorted=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-3, rtol=1e-3)
