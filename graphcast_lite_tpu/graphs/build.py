@@ -143,6 +143,12 @@ def build_graph_set(
     dg_idx, dm_idx = containing_triangle_edges(
         grid_lat, grid_lon, finest, flat=flat_grid
     )
+    # M2G has exactly 3 mesh senders per grid node; the K=3 ELL path was
+    # A/B-measured SLOWER than the clipped segment kernel at 512x256
+    # (287.2 vs 278.1 ms inference rollout, 1578.8 vs 1497.9 ms train
+    # step, v5e): in the unified node space the [R, 3] table spans all
+    # 172K rows (41K of them degree-0 mesh rows) and the 3-row gathers
+    # beat no bandwidth bound the sorted kernel doesn't already hit.
     decoding = build_graph(
         dm_idx + num_grid,
         dg_idx,
