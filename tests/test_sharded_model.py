@@ -576,3 +576,41 @@ def test_sparse_gat_train_step_parity():
     assert abs(sh_kept - ref_kept) <= max(2, total // 500), (
         sh_kept, ref_kept, total
     )
+
+
+def test_sharded_forward_threads_edge_mask():
+    """make_sharded_forward must actually APPLY a supplied processing-edge
+    mask (ADVICE r3: it used to silently fall back to the unpruned plan
+    mask): the plan's own mask reproduces the unmasked call, an all-zero
+    mask changes the output and matches the single-chip model under the
+    same all-zero mask."""
+    cfg, gs, graphs, model, params = _gat_setup(sparse=True)
+    rng = np.random.RandomState(31)
+    x = rng.randn(gs.num_grid_nodes, OBS * N_FEAT).astype(np.float32)
+
+    n_space = N_DEV // 2
+    plan = build_sharding_plan(gs, n_space)
+    arrs = plan_device_arrays(plan, gs)
+    fwd = ShardedWeatherForward(cfg.pipeline, cfg.data, n_space)
+    mesh = Mesh(np.asarray(jax.devices()[:n_space]).reshape(1, n_space),
+                ("data", "space"))
+    run = make_sharded_forward(fwd, mesh)
+
+    xb = jnp.asarray(plan.scatter_grid(x)[None])
+    out_plain = np.asarray(run(params, xb, arrs)[0])
+    out_same = np.asarray(run(params, xb, arrs, arrs.proc.edge_mask)[0])
+    np.testing.assert_allclose(out_same, out_plain, atol=1e-6)
+
+    zero_mask = jnp.zeros_like(arrs.proc.edge_mask)
+    out_zero = plan.gather_grid(
+        np.asarray(run(params, xb, arrs, zero_mask)[0])
+    )
+    assert np.abs(out_zero - plan.gather_grid(out_plain)).max() > 1e-4, (
+        "mask was ignored"
+    )
+    expect_zero = np.asarray(model.apply(
+        params, jnp.asarray(x), graphs,
+        jnp.zeros_like(graphs.processing.edge_mask),
+    )[0])
+    err = np.abs(out_zero - expect_zero).max()
+    assert err < 1e-4, f"masked sharded forward mismatch: {err}"
