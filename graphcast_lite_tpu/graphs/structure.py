@@ -190,17 +190,25 @@ def build_graph(
         seg_recv, num_receivers, DEFAULT_TILE_RECEIVERS
     )
 
-    from ..ops.pallas_edge_step import build_step_schedule
-
-    ss = build_step_schedule(r_full, num_receivers, DEFAULT_TILE_RECEIVERS)
+    # Edge-step-kernel schedule: built only when the kernel is opted in
+    # (GCLT_EDGE_STEP=1) — it is off by default (measured net loss
+    # in-model, see ops/pallas_edge_step.py) and its [NC, TE] tables would
+    # otherwise ride every jitted call as dead device arguments.
     step_sched = None
-    if ss is not None:
-        step_sched = StepSched(
-            base=jnp.asarray(ss.base), tile=jnp.asarray(ss.tile),
-            lo=jnp.asarray(ss.win_lo), hi=jnp.asarray(ss.win_hi),
-            rwin=jnp.asarray(ss.rwin), recv=jnp.asarray(ss.recv),
-            win_r=ss.win_r, xr_rows=ss.xr_rows,
-        )
+    import os as _os
+
+    if _os.environ.get("GCLT_EDGE_STEP", "0") not in ("0", "false", "off"):
+        from ..ops.pallas_edge_step import build_step_schedule
+
+        ss = build_step_schedule(r_full, num_receivers,
+                                 DEFAULT_TILE_RECEIVERS)
+        if ss is not None:
+            step_sched = StepSched(
+                base=jnp.asarray(ss.base), tile=jnp.asarray(ss.tile),
+                lo=jnp.asarray(ss.win_lo), hi=jnp.asarray(ss.win_hi),
+                rwin=jnp.asarray(ss.rwin), recv=jnp.asarray(ss.recv),
+                win_r=ss.win_r, xr_rows=ss.xr_rows,
+            )
 
     neigh_senders = neigh_edge = neigh_mask = None
     if build_ell and e > 0:

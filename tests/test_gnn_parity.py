@@ -351,7 +351,9 @@ def test_lazy_processor_step_kernel_parity(rng):
     n, e = 700, 20000
     s = rng.randint(0, n, e)
     r = rng.randint(0, n, e)
+    os.environ["GCLT_EDGE_STEP"] = "1"   # schedule build is gated on opt-in
     g = build_graph(s, r, num_nodes=n, build_ell=False, pad_multiple=128)
+    os.environ.pop("GCLT_EDGE_STEP", None)
     assert g.step_sched is not None
     d = 128
     proc = InteractionNetProcessor(
