@@ -264,7 +264,21 @@ def _bwd(static, res, cot):
     d_w1e = e_attr.T @ d_hp
 
     # The two node-space scatters — the ops this module exists for.
-    if static.bwd_mode == "ell":
+    if static.bwd_mode == "hybrid":
+        # d_xr: already receiver-sorted -> Pallas kernel (no permutation).
+        # d_xs: dense transpose-ELL gather (multimesh out-degree <= 12) —
+        # replaces the [E, H] permutation gather + sender-sorted kernel
+        # (VERDICT r3 task 1b).  Pad rows' cotangents land on sender 0
+        # exactly as in the "ell" mode.
+        pad = ((1.0 - pad_valid)[:, None] * d_hp).sum(axis=0)
+        d_xr = segment_sum_sorted(
+            d_hp, receivers, r_chunk_base, r_chunk_tile,
+            static.num_receivers, static.tile_receivers, static.interpret,
+            tile_lo=static.r_tile_lo, tile_hi=static.r_tile_hi,
+        )
+        d_xs = _ell_scatter(d_hp, t_neigh_edge, t_neigh_mask)
+        d_xs = d_xs.at[0].add(pad)
+    elif static.bwd_mode == "ell":
         # The ELL tables cover REAL edges; padded edges point at receiver
         # num_receivers-1 / sender 0 by the build convention — add their
         # (usually zero) contributions there so the adjoint is exact for
@@ -423,16 +437,20 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
     conditions (feature dims % 128, edge count, num_receivers == num_nodes).
     """
     aux = graph.senders_aux
-    # Backward-scatter mode (GCLT_FUSED_BWD=ell|pallas).  Default "pallas":
-    # measured FASTER end-to-end than the dense ELL gathers at the flagship
-    # (1642 vs 1968 ms/train step on v5e — the [E->R,K] gather blowup of
-    # the ELL adjoint outweighs skipping the permutation gather).  "ell"
-    # kept for workloads with tighter tables.
+    # Backward-scatter mode (GCLT_FUSED_BWD=ell|pallas|hybrid).  Default
+    # "pallas": measured FASTER end-to-end than both ELL variants at the
+    # flagship (round-4, v5e: pallas 1497.9 / hybrid 1595.0 / ell 1916 ms
+    # per train step) — the [N, K, H] dense gather of the ELL adjoint is
+    # itself the cost, not the permutation it avoids ("hybrid" keeps d_xr
+    # on the sorted kernel and still loses).  Both kept for workloads with
+    # tighter tables.
     mode = os.environ.get("GCLT_FUSED_BWD")
-    if mode not in ("ell", "pallas"):
+    if mode not in ("ell", "pallas", "hybrid"):
         mode = "pallas"
     if mode == "ell" and (graph.neigh_edge is None
                           or graph.t_neigh_edge is None):
+        mode = "pallas"
+    if mode == "hybrid" and graph.t_neigh_edge is None:
         mode = "pallas"
     static = _Static(
         num_nodes=graph.num_nodes,
@@ -449,6 +467,7 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
     dummy_t = jnp.zeros((1, 1), jnp.int32)
     dummy_m = jnp.zeros((1, 1), mask.dtype)
     use_ell = mode == "ell"
+    use_tell = mode in ("ell", "hybrid")
     seg_recv = (graph.seg_recv if graph.seg_recv is not None
                 else graph.receivers)
     return _edge_pipeline(
@@ -458,7 +477,7 @@ def edge_pipeline(x, e_attr, mask, w1s, w1r, w1e, b1, w2, b2, graph,
         aux.perm, aux.idx_sorted, aux.chunk_base, aux.chunk_tile,
         graph.neigh_edge if use_ell else dummy_t,
         graph.neigh_mask if use_ell else dummy_m,
-        graph.t_neigh_edge if use_ell else dummy_t,
-        graph.t_neigh_mask if use_ell else dummy_m,
+        graph.t_neigh_edge if use_tell else dummy_t,
+        graph.t_neigh_mask if use_tell else dummy_m,
         graph.edge_mask,   # static padding validity (pre-pruning)
     )

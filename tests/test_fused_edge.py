@@ -178,3 +178,43 @@ def test_training_trace_gates_fused_path(monkeypatch):
     rollout_loss(model_fn, window, targets, 1, spec)
     assert seen == [True]
     assert not fused_edge.use_fused_edge()
+
+
+def test_hybrid_bwd_mode_grad_parity(rng, monkeypatch):
+    """GCLT_FUSED_BWD=hybrid (d_xr via the sorted kernel, d_xs via the
+    transpose-ELL gather) must match autodiff of the reference math."""
+    monkeypatch.setenv("GCLT_FUSED_BWD", "hybrid")
+    g = make_graph(rng)
+    n, e_pad = g.num_nodes, g.padded_num_edges
+    d = de = h = 128
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    e_attr = jnp.asarray(rng.randn(e_pad, de).astype(np.float32))
+    w1s = jnp.asarray(rng.randn(d, h).astype(np.float32) * 0.1)
+    w1r = jnp.asarray(rng.randn(d, h).astype(np.float32) * 0.1)
+    w1e = jnp.asarray(rng.randn(de, h).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(h, de).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.randn(de).astype(np.float32) * 0.1)
+    n_real = g.num_edges
+    keep = np.zeros((e_pad, 1), np.float32)
+    keep[:n_real] = 1.0
+    p_eu = jnp.asarray(rng.randn(e_pad, de).astype(np.float32) * keep)
+    p_agg = jnp.asarray(rng.randn(g.num_receivers, de).astype(np.float32))
+
+    def loss(fn, *args):
+        eu, agg = fn(*args)
+        return jnp.sum(eu * p_eu) + jnp.sum(agg * p_agg)
+
+    args = (x, e_attr, g.edge_mask, w1s, w1r, w1e, b1, w2, b2)
+    grad_f = jax.grad(
+        lambda *a: loss(lambda *aa: edge_pipeline(*aa, g, activation="swish"),
+                        *a),
+        argnums=(0, 1, 3, 4, 5, 7),
+    )(*args)
+    grad_r = jax.grad(
+        lambda *a: loss(lambda *aa: reference_pipeline(*aa, g), *a),
+        argnums=(0, 1, 3, 4, 5, 7),
+    )(*args)
+    for gf, gr in zip(grad_f, grad_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=3e-3, rtol=3e-3)
