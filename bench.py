@@ -443,10 +443,14 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     # S>=2 would not need it).  GCLT_S1_REMAT=none measures without it (the
     # remat-vs-machinery split); the env var is restored on exit so later
     # sharded work in this process keeps its own policy.
-    remat_mode = os.environ.get("GCLT_S1_REMAT", "full")
     prev_remat = os.environ.get("GCLT_SHARDED_SCAN_REMAT")
     if prev_remat is None:
+        remat_mode = os.environ.get("GCLT_S1_REMAT", "full")
         os.environ["GCLT_SHARDED_SCAN_REMAT"] = remat_mode
+    else:
+        # A pre-set GCLT_SHARDED_SCAN_REMAT wins over GCLT_S1_REMAT; report
+        # the mode that actually takes effect.
+        remat_mode = prev_remat
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("data", "space"))
     plan = build_sharding_plan(gs, 1)

@@ -108,18 +108,29 @@ class OptimalInterpolation:
         y_sub = y_o[sub]
         x_sub = x_b[sub]
 
-        # Group channels by observation pattern: one factorization per group.
+        # Group channels by observation pattern: channels observed at the
+        # same node set (the common case — the sparse-station generator
+        # observes all requested channels at every station) share ONE
+        # factorization of A = HBHt + R and solve a stacked RHS.
         masks = ~np.isnan(y_sub)
+        groups: dict = {}
         for c in range(shape[-1]):
             m = masks[:, c]
             if not m.any():
                 continue
+            groups.setdefault(m.tobytes(), []).append(c)
+        for key, chans in groups.items():
+            m = np.frombuffer(key, dtype=bool)
             obs_nodes = np.flatnonzero(m)
-            x_new = self._analyze(x_sub[:, c], y_sub[m, c], obs_nodes)
+            x_new = self._analyze(
+                x_sub[:, chans],                       # [N_oi, K]
+                y_sub[np.ix_(obs_nodes, chans)],       # [n_obs, K]
+                obs_nodes,
+            )
             if self.roi_idx is not None:
-                x_a[self.roi_idx, c] = x_new
+                x_a[np.ix_(self.roi_idx, chans)] = x_new
             else:
-                x_a[:, c] = x_new
+                x_a[:, chans] = x_new
         return x_a.reshape(shape).astype(forecast.dtype)
 
     def make_step_hook(self, observations: np.ndarray, k: Optional[int] = None):

@@ -6,11 +6,16 @@ training scalers, run the AR rollout, denormalize, and render a t2m map +
 city summary markdown.
 
 Architecture: the data source is an injected ``fetch_fn(cycle_index) ->
-{var_name: field[G]}`` so the pipeline is fully testable offline; the
-NOMADS GDAS fetcher (``fetch_gdas_cycle``) implements the reference's
-behavior (GRIB download + bilinear interpolation to model nodes, Pa→hPa
-pressure fix, zero-fill for channels the analysis lacks, e.g. tp) and
-raises a clear error in zero-egress environments or when cfgrib is absent.
+{var_name: field[G]}`` so the pipeline is fully testable offline.  The
+GRIB-payload TRANSFORM core is real, tested code (``extract_live_channels``:
+per-variable GRIB name candidates incl. pressure levels, lon-wrapped
+bilinear interpolation to model nodes, Pa→hPa pressure fix, zero-fill +
+warning for channels the analysis lacks, e.g. tp, static channels from the
+bundle template — reference ``scripts/live_gdas_forecast.py:430-484``); it
+consumes plain ``GribField`` arrays, so any GRIB reader (cfgrib or a test
+fixture) can feed it.  Only the NETWORK step (``fetch_gdas_cycle``'s NOMADS
+download) is gated: it raises a clear error in zero-egress environments or
+when cfgrib is absent — it does NOT implement the download itself.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import datetime as _dt
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -27,11 +32,25 @@ from .bundle import RuntimeBundle, load_runtime_bundle
 __all__ = [
     "LiveForecast",
     "run_live_forecast",
+    "GribField",
+    "interp_to_nodes",
+    "extract_live_channels",
     "fetch_gdas_cycle",
+    "render_t2m_map",
     "render_summary_markdown",
 ]
 
 FetchFn = Callable[[int], Dict[str, np.ndarray]]
+
+
+@dataclasses.dataclass
+class GribField:
+    """One decoded GRIB field on a regular lat/lon grid (reader-agnostic:
+    cfgrib fills this from a DataArray, tests from synthetic arrays)."""
+
+    lats: np.ndarray     # [La] degrees (any order; sorted internally)
+    lons: np.ndarray     # [Lo] degrees (any convention; wrapped to 0..360)
+    values: np.ndarray   # [La, Lo]
 
 
 @dataclasses.dataclass
@@ -132,6 +151,119 @@ def run_live_forecast(
     )
 
 
+def interp_to_nodes(
+    field: GribField, node_lats: np.ndarray, node_lons: np.ndarray
+) -> np.ndarray:
+    """Longitude-wrapped bilinear interpolation of a regular-grid field to
+    scattered model nodes (reference live_gdas_forecast.py:380-407: sort
+    both axes, append a +360° wrap column, linear interpolation, clamped
+    at the lat edges)."""
+    lats = np.asarray(field.lats, np.float64)
+    lons = np.mod(np.asarray(field.lons, np.float64), 360.0)
+    vals = np.asarray(field.values, np.float64)
+    lat_order = np.argsort(lats)
+    lon_order = np.argsort(lons)
+    lats_s = lats[lat_order]
+    lons_s = lons[lon_order]
+    vals_s = vals[np.ix_(lat_order, lon_order)]
+    # Wrap column: the first longitude shifted by +360 closes the seam.
+    lons_e = np.concatenate([lons_s, [lons_s[0] + 360.0]])
+    vals_e = np.concatenate([vals_s, vals_s[:, :1]], axis=1)
+
+    nl = np.asarray(node_lats, np.float64)
+    no = np.mod(np.asarray(node_lons, np.float64), 360.0)
+    # Nodes west of the first source longitude read the wrap cell.
+    no = np.where(no < lons_e[0], no + 360.0, no)
+    li = np.interp(nl, lats_s, np.arange(len(lats_s)))
+    lo = np.interp(no, lons_e, np.arange(len(lons_e)))
+    i0 = np.clip(np.floor(li).astype(int), 0, len(lats_s) - 2)
+    j0 = np.clip(np.floor(lo).astype(int), 0, len(lons_e) - 2)
+    fi, fj = li - i0, lo - j0
+    out = (
+        vals_e[i0, j0] * (1 - fi) * (1 - fj)
+        + vals_e[i0 + 1, j0] * fi * (1 - fj)
+        + vals_e[i0, j0 + 1] * (1 - fi) * fj
+        + vals_e[i0 + 1, j0 + 1] * fi * fj
+    )
+    return out.astype(np.float32)
+
+
+# (group key in the GRIB payload, candidate GRIB short names, hPa level)
+# — reference live_gdas_forecast.py:441-460.
+_VAR_SPECS = {
+    "t2m": ("t2m", ["2t", "t2m", "t"], None),
+    "10u": ("10u", ["10u", "u10", "u"], None),
+    "10v": ("10v", ["10v", "v10", "v"], None),
+    "msl": ("msl", ["prmsl", "mslma"], None),
+    "sp": ("sp", ["sp", "pres"], None),
+    "tcwv": ("tcwv", ["pwat", "tcwv"], None),
+    "tp": ("tp", ["tp", "acpcp", "prate"], None),
+}
+for _v in ("t", "u", "v", "q"):
+    for _lev in (850, 500):
+        _VAR_SPECS[f"{_v}@{_lev}"] = (f"isobaric_{_v}", [_v], _lev)
+for _lev in (850, 500):
+    _VAR_SPECS[f"z@{_lev}"] = ("isobaric_z", ["gh", "z"], _lev)
+
+
+def extract_live_channels(
+    payload: Dict[str, Dict],
+    node_lats: np.ndarray,
+    node_lons: np.ndarray,
+    var_order: Sequence[str],
+    template_static: Optional[Dict[str, np.ndarray]] = None,
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Map a decoded GRIB payload onto the model's channel set.
+
+    ``payload``: {group: {short_name: GribField}} for surface groups, or
+    {group: {short_name: {level: GribField}}} for isobaric groups — the
+    shape a cfgrib reader (or a test fixture) naturally produces.
+    Static channels come from ``template_static`` (the runtime bundle);
+    missing channels are zero-filled with a warning (normalized zero =
+    climatological mean — reference :473-475); msl/sp are converted Pa→hPa
+    to match the training scalers (reference :479).
+    Returns ({var: field[G] float32}, warnings)."""
+    template_static = template_static or {}
+    extracted: Dict[str, np.ndarray] = {}
+    warnings: List[str] = []
+    zeros = np.zeros_like(np.asarray(node_lats), dtype=np.float32)
+
+    for name in var_order:
+        if name in template_static:
+            extracted[name] = np.asarray(
+                template_static[name], np.float32
+            )
+            continue
+        spec = _VAR_SPECS.get(name)
+        if spec is None:
+            warnings.append(f"Unsupported variable {name}; filling zeros")
+            extracted[name] = zeros.copy()
+            continue
+        group, candidates, level = spec
+        field = None
+        group_data = payload.get(group, {})
+        for cand in candidates:
+            entry = group_data.get(cand)
+            if entry is None:
+                continue
+            field = entry.get(level) if isinstance(entry, dict) else entry
+            if field is not None:
+                break
+        if field is None:
+            warnings.append(
+                "GDAS analysis does not expose tp in this path; filling "
+                "zeros" if name == "tp"
+                else f"Missing {name} in GDAS payload; filling zeros"
+            )
+            extracted[name] = zeros.copy()
+            continue
+        values = interp_to_nodes(field, node_lats, node_lons)
+        if name in ("msl", "sp"):
+            values = values / 100.0  # Pa -> hPa (training-scaler contract)
+        extracted[name] = values
+    return extracted, warnings
+
+
 def fetch_gdas_cycle(
     cycle_index: int,
     variables: Sequence[str],
@@ -139,12 +271,13 @@ def fetch_gdas_cycle(
     grid_lon: np.ndarray,
     base_url: str = "https://nomads.ncep.noaa.gov/pub/data/nccf/com/gfs/prod",
 ) -> Dict[str, np.ndarray]:
-    """Download a recent GDAS 0.25° analysis and interpolate to model nodes.
+    """NOMADS GDAS download entry point — the NETWORK step only.
 
-    Requires network access and cfgrib; raises RuntimeError with a clear
-    message otherwise (this build environment is zero-egress — inject a
-    synthetic ``fetch_fn`` instead, see tests/test_operational.py).
-    Pressure fields are converted Pa→hPa like the reference (:479).
+    The GRIB→channels transform is ``extract_live_channels`` (real, tested
+    offline); this function only covers fetching the GRIB bytes and decoding
+    them with cfgrib, which needs network access.  In this zero-egress build
+    it raises a clear RuntimeError — inject a synthetic ``fetch_fn``
+    instead (see tests/test_operational.py).
     """
     try:
         import cfgrib  # noqa: F401
@@ -156,8 +289,53 @@ def fetch_gdas_cycle(
         ) from e
     raise RuntimeError(
         "Live GDAS download not available in a zero-egress environment; "
-        "inject a custom fetch_fn"
+        "inject a custom fetch_fn (the GRIB->channel transform itself is "
+        "extract_live_channels and works offline)"
     )
+
+
+def render_t2m_map(
+    forecast: LiveForecast,
+    map_path: str,
+    step: int = 0,
+    city_name: Optional[str] = None,
+    city_lat: Optional[float] = None,
+    city_lon: Optional[float] = None,
+) -> Optional[str]:
+    """+step t2m map (°C) with an optional city marker, like the reference's
+    summary figure (live_gdas_forecast.py:494-561).  Returns the path, or
+    None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover
+        return None
+    if "t2m" not in forecast.variables:
+        return None
+    ti = forecast.variables.index("t2m")
+    t2m_c = forecast.predictions_phys[:, step, ti] - 273.15
+    lat, lon = forecast.latitude, forecast.longitude
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    if lat.ndim == 1 and len(lat) != len(lon):
+        field = t2m_c.reshape(len(lat), len(lon))
+        im = ax.imshow(field, origin="lower", aspect="auto", cmap="RdYlBu_r",
+                       extent=[lon.min(), lon.max(), lat.min(), lat.max()])
+    else:  # flat grid: scatter
+        im = ax.scatter(lon, lat, c=t2m_c, s=4, cmap="RdYlBu_r")
+    if city_lat is not None and city_lon is not None:
+        ax.plot(city_lon, city_lat, "k*", markersize=12)
+        if city_name:
+            ax.annotate(city_name, (city_lon, city_lat),
+                        textcoords="offset points", xytext=(6, 6))
+    vt = forecast.valid_times[step]
+    ax.set_title(f"t2m forecast, valid {vt:%Y-%m-%d %H:%M} UTC")
+    fig.colorbar(im, ax=ax, label="°C")
+    fig.tight_layout()
+    fig.savefig(map_path, dpi=110)
+    plt.close(fig)
+    return map_path
 
 
 def render_summary_markdown(
@@ -166,9 +344,11 @@ def render_summary_markdown(
     city_lat: float = 56.0153,
     city_lon: float = 92.8932,
     out_path: Optional[str] = None,
+    map_path: Optional[str] = None,
 ) -> str:
-    """City forecast table (t2m/wind) + optional t2m map, like the
-    reference's markdown summary (:494-561)."""
+    """City forecast table (t2m/wind) + optional t2m map (rendered to
+    ``map_path`` and embedded when given), like the reference's markdown
+    summary (:494-561)."""
     lat, lon = forecast.latitude, forecast.longitude
     if lat.ndim == 1 and len(lat) != len(lon):
         lo, la = np.meshgrid(lon, lat)
@@ -194,6 +374,13 @@ def render_summary_markdown(
         else:
             ws = float("nan")
         lines.append(f"| {vt:%Y-%m-%d %H:%M} | {t2m:.1f} | {ws:.1f} |")
+    if map_path is not None:
+        rendered = render_t2m_map(
+            forecast, map_path, step=0,
+            city_name=city_name, city_lat=city_lat, city_lon=city_lon,
+        )
+        if rendered:
+            lines += ["", f"![t2m map]({os.path.basename(rendered)})"]
     text = "\n".join(lines)
     if out_path:
         with open(out_path, "w") as f:

@@ -171,9 +171,14 @@ def _edge_tail(static, h_pre, w2, b2, mask, receivers,
     """act(h_pre) @ w2 + b2 and its masked receiver segment-sum — through
     the fused Pallas mega-kernel when eligible (one pass over h_pre instead
     of three extra [E, De] HBM round trips), else the composed ops."""
+    from .segment import use_pallas_segment_sum
+
     act = _act_fn(static.activation)
     if (
         _mega_enabled()
+        and use_pallas_segment_sum()  # backend/policy gate, matches
+        # _use_mega_edge_path: static.interpret alone isn't enough on a
+        # non-CPU non-TPU backend (kernel would run uncompiled)
         and static.activation in ("swish", "silu", "relu")
         and h_pre.shape[-1] % 128 == 0
         and w2.shape[-1] % 128 == 0

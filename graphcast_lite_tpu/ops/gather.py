@@ -52,7 +52,14 @@ def build_gather_aux(
     """``n_real``: number of REAL edges; padding entries (rows >= n_real)
     are repointed inside the real target band so bipartite graphs keep a
     tight clipped schedule (their zero adjoints land on a real row and are
-    exact zeros either way)."""
+    exact zeros either way).
+
+    INVARIANT for consumers: because padded entries of ``aux.idx`` now point
+    at a REAL node, forward gathers through this aux return garbage (a real
+    node's features) in padded rows — NOT zeros.  Every consumer must
+    pre-multiply edge contributions by the edge mask before aggregating
+    (the repo-wide padded-edge rule, see CLAUDE.md invariants); the adjoint
+    is unaffected since masked rows carry zero cotangents."""
     from .pallas_segment import build_schedule_clipped
 
     idx = np.asarray(idx, np.int32).copy()

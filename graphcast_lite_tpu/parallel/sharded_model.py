@@ -25,10 +25,14 @@ scaling efficiency).  Strategy:
   sharded unchanged (parity tested on the 8-device CPU mesh,
   tests/test_sharded_model.py).
 
-Supported layer types: ConvGCN encoder/decoder stacks (the flagship
-configuration, presets.interaction_net_*) with InteractionNet or ConvGCN
-processors.  GAT/SparseGAT/product-graph models fall back to the GSPMD
-auto-sharding path (``parallel.sharding``).
+Supported layer types (see ``ShardedWeatherForward._validate`` — the
+authoritative gate): encoder/decoder = ConvGCN stacks; processor =
+InteractionNet / ConvGCN / GAT / SparseGAT (``_gat_stack`` /
+``_sparse_gat``, with per-shard edge-mask pruning state).  Product-graph
+models, and models whose ENCODER or DECODER uses attention layers, fall
+back to the GSPMD auto-sharding path (``parallel.sharding``; measured at
+2310.9 ms vs 1921.0 ms for the sharded body on the 512x256 GAT-encoder
+config, ``bench.py gspmd``).
 """
 
 from __future__ import annotations

@@ -141,3 +141,35 @@ def test_oi_roi_b_matrix_scale():
     changed = np.flatnonzero(np.abs(out[:, 0]) > 1e-12)
     assert np.isin(changed, roi_idx).all()
     assert changed.size > 0
+
+
+def test_oi_grouped_channels_match_per_channel_solve():
+    """Channels sharing an observation pattern are solved in one stacked
+    RHS; the result must equal solving each channel independently, and
+    mixed patterns (per-channel station subsets) must group correctly."""
+    rng = np.random.RandomState(0)
+    lats = np.linspace(-10, 10, 6)
+    lons = np.linspace(0, 10, 5)
+    oi = OptimalInterpolation(lats, lons, 1.0, 0.3, 400_000.0)
+    g, c = 30, 5
+    fc = rng.randn(g, c).astype(np.float32)
+    obs = np.full((g, c), np.nan, np.float32)
+    # Channels 0,1,2 observed at one station set, 3 at another, 4 unobserved.
+    obs[[3, 11, 22], 0:3] = rng.randn(3, 3)
+    obs[[5, 17], 3] = rng.randn(2)
+
+    out = oi.apply(fc, obs)
+
+    # Oracle: per-channel independent solves.
+    expect = fc.astype(np.float64).copy()
+    for ch in range(c):
+        m = ~np.isnan(obs[:, ch])
+        if not m.any():
+            continue
+        nodes = np.flatnonzero(m)
+        expect[:, ch] = oi._analyze(
+            fc[:, ch].astype(np.float64), obs[m, ch], nodes
+        )
+    np.testing.assert_allclose(out, expect.astype(np.float32), atol=1e-5)
+    # Unobserved channel untouched.
+    np.testing.assert_allclose(out[:, 4], fc[:, 4], atol=1e-7)

@@ -73,3 +73,83 @@ def test_bundle_and_live_forecast(tmp_path):
                                  out_path=str(tmp_path / "summary.md"))
     assert "TestCity" in md and "2026-01-01" in md
     assert (tmp_path / "summary.md").exists()
+
+
+def test_interp_to_nodes_wraps_longitude():
+    from graphcast_lite_tpu.operational.live import GribField, interp_to_nodes
+
+    # Source grid with a seam at 0/360; field = cos(lon) so the wrap cell
+    # has a known analytic value.
+    lats = np.linspace(-80, 80, 33)
+    lons = np.arange(0.0, 360.0, 10.0)
+    lo2, la2 = np.meshgrid(lons, lats)
+    vals = np.cos(np.radians(lo2))
+    f = GribField(lats=lats, lons=lons, values=vals)
+
+    # Node at lon=355 sits between the last column (350) and the wrap (0).
+    out = interp_to_nodes(f, np.array([0.0]), np.array([355.0]))
+    expect = 0.5 * (np.cos(np.radians(350.0)) + np.cos(0.0))
+    np.testing.assert_allclose(out[0], expect, atol=1e-6)
+
+    # Interior exactness at grid points; -5 == 355 (wrapping convention).
+    out2 = interp_to_nodes(f, np.array([0.0, 0.0]), np.array([90.0, -5.0]))
+    np.testing.assert_allclose(out2[0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(out2[1], expect, atol=1e-6)
+
+
+def test_extract_live_channels():
+    from graphcast_lite_tpu.operational.live import (
+        GribField,
+        extract_live_channels,
+    )
+
+    lats = np.linspace(-80, 80, 17)
+    lons = np.arange(0.0, 360.0, 30.0)
+
+    def const_field(v):
+        return GribField(lats=lats, lons=lons,
+                         values=np.full((len(lats), len(lons)), v, np.float32))
+
+    payload = {
+        "t2m": {"2t": const_field(280.0)},
+        "sp": {"pres": const_field(98000.0)},        # Pa -> expect hPa
+        "isobaric_t": {"t": {850: const_field(270.0),
+                             500: const_field(250.0)}},
+        "isobaric_z": {"gh": {500: const_field(5500.0)}},
+    }
+    node_lats = np.array([0.0, 45.0])
+    node_lons = np.array([100.0, 200.0])
+    var_order = ["t2m", "sp", "t@850", "t@500", "z@500", "tp", "lsm", "weird"]
+    template = {"lsm": np.array([1.0, 0.0], np.float32)}
+
+    fields, warnings = extract_live_channels(
+        payload, node_lats, node_lons, var_order, template
+    )
+    np.testing.assert_allclose(fields["t2m"], 280.0, atol=1e-4)
+    np.testing.assert_allclose(fields["sp"], 980.0, atol=1e-4)   # Pa->hPa
+    np.testing.assert_allclose(fields["t@850"], 270.0, atol=1e-4)
+    np.testing.assert_allclose(fields["t@500"], 250.0, atol=1e-4)
+    np.testing.assert_allclose(fields["z@500"], 5500.0, atol=1e-3)
+    np.testing.assert_allclose(fields["lsm"], [1.0, 0.0])        # template
+    np.testing.assert_allclose(fields["tp"], 0.0)                # zero-fill
+    np.testing.assert_allclose(fields["weird"], 0.0)
+    assert any("tp" in w for w in warnings)
+    assert any("weird" in w.lower() or "Unsupported" in w for w in warnings)
+
+
+def test_render_t2m_map(tmp_path):
+    from graphcast_lite_tpu.operational.live import LiveForecast, render_t2m_map
+
+    lat = np.linspace(-80, 80, 8)
+    lon = np.linspace(0, 350, 16)
+    preds = np.random.RandomState(0).randn(128, 2, 3).astype(np.float32) + 280
+    fc = LiveForecast(
+        predictions_phys=preds,
+        valid_times=[datetime.datetime(2026, 1, 1, 6),
+                     datetime.datetime(2026, 1, 1, 12)],
+        variables=["t2m", "10u", "10v"],
+        latitude=lat, longitude=lon,
+    )
+    p = render_t2m_map(fc, str(tmp_path / "t2m.png"), step=1,
+                       city_name="X", city_lat=10.0, city_lon=50.0)
+    assert p is not None and (tmp_path / "t2m.png").stat().st_size > 1000
