@@ -17,7 +17,34 @@ from .data.dataset import DatasetMetadata
 from .graphs.build import GraphSet, build_graph_set
 from .models.weather import ModelGraphs, WeatherModel
 
-__all__ = ["detect_region_bounds", "build_weather_model"]
+__all__ = ["detect_region_bounds", "build_weather_model",
+           "config_direct_steps"]
+
+
+def config_direct_steps(cfg: ExperimentConfig) -> int:
+    """P for DIRECT multi-step models — configs whose decoder emits P·C
+    channels in one forward (reference wb2_64x32_15f_4pred: decoder
+    output_dim 60 = 4·15) — else 1.  Mirrors the reference's runtime
+    detection (src/assimilation/nudging.py:145: model output channels ==
+    P·C), but statically from the config pipeline."""
+    if cfg.pipeline is None or cfg.data is None:
+        return 1
+    from .models.weather import model_output_dim
+
+    c = cfg.data.num_features_used
+    static = 6
+    if cfg.pipeline.product_graph is not None:
+        enc_in = c + static
+    else:
+        enc_in = c * cfg.data.obs_window_used + static
+    dec_in = model_output_dim(
+        cfg.pipeline.processor,
+        model_output_dim(cfg.pipeline.encoder, enc_in),
+    )
+    dec_out = model_output_dim(cfg.pipeline.decoder, dec_in)
+    if dec_out > c and dec_out % c == 0:
+        return dec_out // c
+    return 1
 
 
 def detect_region_bounds(

@@ -37,6 +37,12 @@ def main(argv=None):
     parser.add_argument("--per-channel", action="store_true")
     parser.add_argument("--save-preds", default=None)
     parser.add_argument("--report-json", default=None)
+    parser.add_argument("--rollouts-per-dispatch", type=int, default=1,
+                        help="amortized serve: batch K samples' whole "
+                        "trajectories into one device dispatch (pays 1/K "
+                        "of the tunnel round-trip; identical metrics). "
+                        "Ignored when --da is active (per-step host "
+                        "control re-enters the window).")
     # Data assimilation.
     parser.add_argument("--da", choices=["none", "nudging", "oi"],
                         default="none")
@@ -52,7 +58,7 @@ def main(argv=None):
     parser.add_argument("--oi-length-km", type=float, default=150.0)
     args = parser.parse_args(argv)
 
-    from ..build import build_weather_model
+    from ..build import build_weather_model, config_direct_steps
     from ..config import load_experiment_config
     from ..data.dataset import load_chunked_datasets
     from ..inference.predict import evaluate_model, region_node_mask
@@ -156,6 +162,8 @@ def main(argv=None):
         assimilator=assimilator,
         scalers_std=scalers["std"] if args.per_channel else None,
         save_predictions=args.save_preds,
+        direct_steps=config_direct_steps(cfg),
+        rollouts_per_dispatch=args.rollouts_per_dispatch,
     )
     print(report.summary())
     if args.report_json:

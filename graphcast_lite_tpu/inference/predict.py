@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -32,7 +33,7 @@ import numpy as np
 
 from ..data.dataset import ChunkedTimeseriesDataset, DatasetMetadata
 from ..models.weather import ModelGraphs, WeatherModel
-from ..training.rollout import RolloutSpec, carry_forward
+from ..training.rollout import RolloutSpec, carry_forward, rollout_predict
 from .metrics import StreamingMetrics, skill_score
 
 __all__ = ["EvalReport", "evaluate_model", "region_node_mask"]
@@ -155,6 +156,8 @@ def evaluate_model(
     horizon_hours: int = 6,
     postprocess=None,
     skip_samples: int = 0,
+    direct_steps: int = 1,
+    rollouts_per_dispatch: int = 1,
 ) -> EvalReport:
     """Run AR evaluation over `dataset` and return the metric report.
 
@@ -163,7 +166,24 @@ def evaluate_model(
     reference scripts/evaluate_full_pipeline.py) to the finished trajectory
     before metrics; unlike ``assimilator`` it is NOT fed back into the AR
     window.  ``skip_samples`` drops the first samples (e.g. a MOS
-    calibration period)."""
+    calibration period).
+
+    Dispatch policy (the axon/TPU tunnel charges per dispatch):
+    * ``direct_steps > 1`` — direct multi-step model (decoder emits P·C in
+      one forward): ONE dispatch per sample; an ``assimilator`` is applied
+      OFFLINE per step like the reference's "ВАРИАНТ А"
+      (src/assimilation/nudging.py:145-155) — there is no AR window to
+      feed it back into.
+    * ``assimilator is None`` — whole-trajectory jitted rollout: ONE
+      dispatch per sample (was one per AR step; ~30% eval wall-time at
+      64x32, BENCH r04 dispatch 67.5 vs rollout 44.2 ms).
+    * otherwise — per-step dispatch so the host-side assimilator output
+      re-enters the window (sequential nudging / per-step OI).
+
+    ``rollouts_per_dispatch=K > 1`` (no assimilator only) additionally
+    batches K samples' whole trajectories into ONE vmapped dispatch —
+    the amortized-serve mode (bench.py measured 42.8 vs 68.7 ms/rollout
+    at 64x32).  Metrics are bit-identical to K=1."""
     c = dataset.n_feat
     obs = dataset.obs_window
     g = dataset.n_nodes
@@ -174,8 +194,32 @@ def evaluate_model(
         remat=False,
         static_channels=tuple(static_channels),
         forcing_channels=tuple(forcing_channels),
+        direct_steps=direct_steps,
     )
     exclude = sorted(set(static_channels) | set(forcing_channels))
+
+    def _model_fn(inp, m, t, p):
+        out, _ = model.apply(params, inp, graphs, m, t, p)
+        return out, None
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_trajectory(window, targets, steps):
+        """Whole rollout in one device program: [G, obs, C] -> [G, steps, C]
+        (forcing channels substituted from the known-in-advance targets,
+        matching the per-step path's carry_forward semantics)."""
+        return rollout_predict(
+            _model_fn, window, steps, spec, edge_mask, forcing=targets
+        )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_trajectory_batch(windows, targets, steps):
+        """K samples' rollouts in ONE dispatch: [K, G, obs, C] ->
+        [K, G, steps, C] (the amortized-serve program)."""
+        return jax.vmap(
+            lambda w, t: rollout_predict(
+                _model_fn, w, steps, spec, edge_mask, forcing=t
+            )
+        )(windows, targets)
 
     @jax.jit
     def one_step(window, target):
@@ -203,6 +247,7 @@ def evaluate_model(
         ridx = np.flatnonzero(rmask)
 
     saved_preds, saved_gt, saved_offsets = [], [], []
+    _pending: Dict[int, np.ndarray] = {}   # amortized-serve chunk buffer
 
     n = len(dataset)
     if max_samples is not None:
@@ -211,21 +256,55 @@ def evaluate_model(
         x, y = dataset.get(i)
         p_avail = y.shape[-1] // c
         steps = min(ar_steps, p_avail)
+        if direct_steps > 1:
+            steps = min(steps, direct_steps)
         window = jnp.asarray(x.reshape(g, obs, c))
         targets = y.reshape(g, p_avail, c)
         persistence = x.reshape(g, obs, c)[:, -1, :]
 
-        outs = []
-        for step in range(steps):
-            tgt = jnp.asarray(targets[:, step, :])
-            out, window = one_step(window, tgt)
-            out_np = np.asarray(out)
+        if direct_steps > 1:
+            # Direct multi-step: one dispatch; offline per-step assimilation.
+            out = np.array(run_trajectory(
+                window, jnp.asarray(targets), steps
+            ))                                               # [G, steps, C]
             if assimilator is not None:
+                for step in range(steps):
+                    out[:, step, :] = assimilator(out[:, step, :], step)
+            pred_flat = out.reshape(g, steps * c)
+        elif assimilator is None:
+            if rollouts_per_dispatch > 1:
+                # Amortized serve: K samples' trajectories per dispatch.
+                if i not in _pending:
+                    idxs = list(range(i, min(i + rollouts_per_dispatch, n)))
+                    ws, ts = [], []
+                    for j in idxs:
+                        xj, yj = dataset.get(j)
+                        ws.append(xj.reshape(g, obs, c))
+                        ts.append(yj.reshape(g, -1, c))
+                    outb = np.asarray(run_trajectory_batch(
+                        jnp.asarray(np.stack(ws)),
+                        jnp.asarray(np.stack(ts)), steps,
+                    ))
+                    _pending.update(
+                        {j: outb[k] for k, j in enumerate(idxs)}
+                    )
+                out = _pending.pop(i)
+            else:
+                # Single-dispatch whole-trajectory rollout.
+                out = np.asarray(run_trajectory(
+                    window, jnp.asarray(targets), steps
+                ))
+            pred_flat = out.reshape(g, steps * c)
+        else:
+            outs = []
+            for step in range(steps):
+                tgt = jnp.asarray(targets[:, step, :])
+                out, window = one_step(window, tgt)
+                out_np = np.asarray(out)
                 out_np = assimilator(out_np, step)
                 window = window.at[:, -1, :].set(jnp.asarray(out_np))
-            outs.append(out_np)
-
-        pred_flat = np.concatenate(outs, axis=1)             # [G, steps·C]
+                outs.append(out_np)
+            pred_flat = np.concatenate(outs, axis=1)         # [G, steps·C]
         if postprocess is not None:
             pred_flat = postprocess(pred_flat, i)
         gt_flat = targets[:, :steps, :].reshape(g, steps * c)

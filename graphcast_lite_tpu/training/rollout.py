@@ -35,7 +35,14 @@ __all__ = ["RolloutSpec", "rollout_loss", "rollout_predict", "carry_forward"]
 
 @dataclasses.dataclass(frozen=True)
 class RolloutSpec:
-    """Static configuration of the AR rollout (hashable; jit-static)."""
+    """Static configuration of the AR rollout (hashable; jit-static).
+
+    ``direct_steps > 1`` marks a DIRECT multi-step model (reference configs
+    like wb2_64x32_15f_4pred whose decoder emits P·C channels in one
+    forward, handled by the reference's DA rollout as "ВАРИАНТ А",
+    src/assimilation/nudging.py:102-193): the rollout becomes a single
+    model call reshaped to [..., G, P, C] — no AR loop, no window feedback.
+    TPU-friendly by construction (one dispatch, one program)."""
 
     obs_window: int
     num_features: int
@@ -43,6 +50,7 @@ class RolloutSpec:
     remat: bool = True
     static_channels: Tuple[int, ...] = ()
     forcing_channels: Tuple[int, ...] = ()
+    direct_steps: int = 1
 
     def static_ch_mask(self) -> Optional[np.ndarray]:
         if not self.static_channels:
@@ -102,6 +110,45 @@ def _one_step(
     return out, new_mask
 
 
+def _direct_forward(
+    model_fn: Callable,
+    window: jnp.ndarray,        # [..., G, obs, C]
+    steps: int,
+    spec: RolloutSpec,
+    edge_mask,
+    attention_threshold,
+    prune: bool,
+    forcing: Optional[jnp.ndarray],   # [..., G, P, C] targets/forcing
+):
+    """One forward of a direct multi-step model -> ([..., G, steps, C], mask).
+
+    Residual mode adds the last observed frame to EVERY step's delta (the
+    natural extension; the reference leaves residual undefined for its
+    4pred configs — documented divergence).  Carry-forward: static channels
+    from the last input frame and forcing channels from the known-in-advance
+    targets, applied to every step (the window never advances)."""
+    g = window.shape[-3]
+    p, c = spec.direct_steps, spec.num_features
+    inp = window.reshape(window.shape[:-3] + (g, spec.obs_window * c))
+    delta, new_mask = model_fn(inp, edge_mask, attention_threshold, prune)
+    assert delta.shape[-1] == p * c, (
+        f"direct_steps={p} x {c} features, model emitted {delta.shape[-1]}"
+    )
+    out = delta.reshape(delta.shape[:-1] + (p, c))
+    last = window[..., -1, :][..., None, :]
+    if spec.use_residual:
+        out = last + out
+    sm = spec.static_ch_mask()
+    if sm is not None:
+        sm = jnp.asarray(sm, out.dtype)
+        out = out * (1 - sm) + last * sm
+    fm = spec.forcing_ch_mask()
+    if fm is not None and forcing is not None:
+        fm = jnp.asarray(fm, out.dtype)
+        out = out * (1 - fm) + forcing[..., :p, :] * fm
+    return out[..., :steps, :], new_mask
+
+
 def rollout_loss(
     model_fn: Callable,
     window: jnp.ndarray,        # [..., G, obs, C] current state
@@ -124,6 +171,23 @@ def rollout_loss(
     Returns (loss, new_edge_mask).
     """
     from ..ops.fused_edge import training_trace
+
+    if spec.direct_steps > 1:
+        steps = min(steps, spec.direct_steps)
+        with training_trace():
+            out, edge_mask = _direct_forward(
+                model_fn, window, steps, spec, edge_mask,
+                attention_threshold, prune, targets,
+            )
+            total = 0.0
+            for step in range(steps):
+                o, t = out[..., step, :], targets[..., step, :]
+                total = total + weighted_mse(
+                    o, t, lat_weights, chan_mask, spatial_mask
+                )
+                if extra_loss_fn is not None:
+                    total = total + extra_loss_fn(o, t)
+        return total / steps, edge_mask
 
     step_fn = _one_step
     if spec.remat:
@@ -168,6 +232,13 @@ def rollout_predict(
     Forcing channels are taken from `forcing` when provided (the reference's
     predict loop substitutes ground-truth forcing, scripts/predict.py:528-565).
     """
+    if spec.direct_steps > 1:
+        out, _ = _direct_forward(
+            model_fn, window, min(steps, spec.direct_steps), spec,
+            edge_mask, attention_threshold, False, forcing,
+        )
+        return out
+
     outs = []
     for step in range(steps):
         out, edge_mask = _one_step(

@@ -136,6 +136,8 @@ class Trainer:
         self.results_dir = results_dir
         os.makedirs(results_dir, exist_ok=True)
 
+        from ..build import config_direct_steps
+
         self.spec = RolloutSpec(
             obs_window=config.data.obs_window_used,
             num_features=config.data.num_features_used,
@@ -143,6 +145,7 @@ class Trainer:
             remat=config.tpu.remat_rollout,
             static_channels=tuple(config.static_channels),
             forcing_channels=tuple(config.forcing_channels),
+            direct_steps=config_direct_steps(config),
         )
         self.using_sparse_gat = (
             config.pipeline is not None

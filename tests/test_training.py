@@ -27,7 +27,11 @@ from graphcast_lite_tpu.training.trainer import Trainer, TrainState
 
 
 def small_experiment(tmp_path, processor_type=GraphLayerType.ConvGCN,
-                     max_ar=2, n_feat=5, static=(3,), forcing=(4,)):
+                     max_ar=2, n_feat=5, static=(3,), forcing=(4,),
+                     direct_pred=0):
+    """``direct_pred`` > 0 makes a DIRECT multi-step config: the decoder
+    emits direct_pred * n_feat channels in one forward (reference
+    wb2_64x32_15f_4pred pattern)."""
     data_dir = str(tmp_path / "data")
     generate_synthetic_dataset(
         data_dir, n_time=30, n_lon=16, n_lat=8, n_feat=n_feat,
@@ -72,7 +76,8 @@ def small_experiment(tmp_path, processor_type=GraphLayerType.ConvGCN,
             processor=ModelConfig(gcn=proc),
             decoder=ModelConfig(
                 gcn=GraphBlock(layer_type=GraphLayerType.ConvGCN,
-                               hidden_dims=[16], output_dim=n_feat,
+                               hidden_dims=[16],
+                               output_dim=max(direct_pred, 1) * n_feat,
                                use_layer_norm=False),
             ),
         ),
