@@ -20,9 +20,9 @@ Covers the reference's offline builder scripts that operate on LOCAL data
                               paired with fine truth)
 
 Network-dependent acquisition (WB2/ARCO zarr, CDS API, ERA5 download) lives
-in ``data.remote`` as gated stubs — this build environment is zero-egress
-and xarray/zarr are not installed; the on-disk format contract is what
-matters for capability parity.
+in ``data.remote``: the full transform pipeline (variable catalog mapping,
+float16-memmap streaming, Welford scalers, progress.json resume) is real
+tested code there; only the store-open itself needs network.
 """
 
 from __future__ import annotations
