@@ -71,6 +71,7 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_eval_step",
     "predict_scaling_efficiency",
+    "estimate_sharded_hbm",
 ]
 
 _AXIS = "space"
@@ -294,6 +295,80 @@ def predict_scaling_efficiency(
         out["overhead_frac"] = round(float(overhead_frac), 4)
         out["efficiency_composite"] = round(eff / (1.0 + overhead_frac), 4)
     return out
+
+
+def estimate_sharded_hbm(
+    plan: ShardingPlan,
+    hidden: int = 256,
+    mp_steps: int = 12,
+    ar_steps: int = 4,
+    num_params: int = 5_950_000,
+    obs_window: int = 2,
+    num_features: int = 19,
+    compute_bytes: int = 2,
+    scan_remat: bool = False,
+) -> Dict[str, float]:
+    """Per-shard HBM accounting of the sharded train-step body (bytes).
+
+    Purpose (VERDICT r4 task 5): the composite scaling-efficiency numbers
+    assume the S>=2 body runs WITHOUT the processor-scan remat that S=1
+    needs; this arithmetic bounds the remat-free per-shard footprint so
+    that assumption is checkable without multi-chip hardware.
+
+    Model, per shard (bf16 compute, fp32 master params + Adam):
+
+      params      = P · (4 master + 8 adam + 2 cast)            [replicated]
+      edges       = Σ_graph E_s · (4 snd + 4 rcv + 2 mask) + proc attr/mask
+      BPTT saves  = ar · mp · (k_e·E_s^proc + k_n·M_s) · h · b
+                    (k_e=2: edge-MLP pre-activation + updated edge carry;
+                     k_n=3: aggregate, node pre-activation, node carry —
+                     the scan's per-step stacked residuals, remat-free)
+      enc/dec     = ar · k_ed · (G_s + M_s) · h · b  (save-h_pre default:
+                    per-AR-step boundary latents kept; blocks rematted)
+      state       = AR window + targets + grid outputs
+
+    CALIBRATION: at S=1 this model must reproduce the MEASURED remat-free
+    OOM request (19.7 GB at 512x256/[4,6]/h256/mp12/AR4, bench r4) —
+    asserted by tests/test_sharded_model.py; with ``scan_remat=True`` the
+    BPTT term drops to the per-step live set (carry only), which is the
+    S=1 default configuration that fits.
+    """
+    s = plan.num_shards
+    h, b = hidden, compute_bytes
+    g_s = plan.grid_part.nodes_per_shard
+    m_s = plan.mesh_part.nodes_per_shard
+    e_proc = plan.proc.senders_global.shape[1]
+    e_enc = plan.enc.senders_global.shape[1]
+    e_dec = plan.dec.senders_global.shape[1]
+
+    params_b = num_params * (4 + 8 + 2)
+    edges_b = (
+        (e_proc + e_enc + e_dec) * 10
+        + e_proc * (4 * 4 + 4)          # 4-feature f32 edge attr + f32 mask
+    )
+    k_e, k_n, k_ed = 2.0, 3.0, 4.0
+    if scan_remat:
+        # Scan remat: only ONE step's intermediates live at a time, plus
+        # the stacked per-step carries the scan must keep for replay.
+        bptt_b = ar_steps * (
+            (k_e * e_proc + k_n * m_s) * h * b          # one live step
+            + mp_steps * (e_proc + m_s) * h * b         # stacked carries
+        )
+    else:
+        bptt_b = ar_steps * mp_steps * (k_e * e_proc + k_n * m_s) * h * b
+    encdec_b = ar_steps * k_ed * (g_s + m_s) * h * b
+    state_b = g_s * (obs_window + 2 * ar_steps) * num_features * 4
+
+    total = params_b + edges_b + bptt_b + encdec_b + state_b
+    return {
+        "S": s,
+        "params_gb": params_b / 1e9,
+        "edges_gb": edges_b / 1e9,
+        "bptt_gb": bptt_b / 1e9,
+        "encdec_gb": encdec_b / 1e9,
+        "state_gb": state_b / 1e9,
+        "total_gb": total / 1e9,
+    }
 
 
 # --------------------------------------------------------------------------

@@ -614,3 +614,31 @@ def test_sharded_forward_threads_edge_mask():
     )[0])
     err = np.abs(out_zero - expect_zero).max()
     assert err < 1e-4, f"masked sharded forward mismatch: {err}"
+
+
+def test_hbm_accounting_calibration():
+    """estimate_sharded_hbm must reproduce the MEASURED S=1 remat-free OOM
+    request (19.7 GB at 512x256/[4,6]/h256/mp12/AR4, bench r4) within 25%,
+    show the with-remat S=1 body fitting the 15.75 GB budget (it runs on
+    the chip), and show the remat-free S>=4 body far under 16 GB — the
+    arithmetic behind the expected-overhead scaling band."""
+    from graphcast_lite_tpu import presets
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.parallel.sharded_model import (
+        build_sharding_plan,
+        estimate_sharded_hbm,
+    )
+
+    lat, lon = presets.wb2_512x256_grid()
+    fl = build_graph_set(lat, lon, [4, 6], 0.6)
+
+    p1 = build_sharding_plan(fl, 1, halo_mode="auto")
+    free = estimate_sharded_hbm(p1, scan_remat=False)["total_gb"]
+    assert abs(free - 19.7) / 19.7 < 0.25, free       # measured OOM request
+    withremat = estimate_sharded_hbm(p1, scan_remat=True)["total_gb"]
+    assert withremat < 15.75, withremat               # measured: it runs
+
+    for s in (4, 8):
+        ps = build_sharding_plan(fl, s, halo_mode="auto")
+        est = estimate_sharded_hbm(ps, scan_remat=False)
+        assert est["total_gb"] < 16.0 * 0.5, est      # 2x margin
