@@ -113,12 +113,27 @@ class Graph:
     # Fast-adjoint gather aux (sender-sorted permutations for the backward).
     senders_aux: Optional[object] = None
     receivers_aux: Optional[object] = None
+    # Mask-static precomputes: the edge mask of a built graph only changes
+    # under SparseGAT pruning (which passes an explicit runtime mask), so
+    # the unmasked in-degree and the GCN symmetric normalizer are host
+    # constants — consumers use them whenever no runtime mask overrides
+    # the graph's own (saves one [E]-scalar segment-sum + two [E] gathers
+    # per conv/step at runtime).
+    static_in_degree: Optional[jnp.ndarray] = None   # [R] float32
+    gcn_norm: Optional[jnp.ndarray] = None           # [E_pad] f32 dinv_s*dinv_r
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_receivers: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
     seg_tile_receivers: int = struct.field(pytree_node=False, default=0)
     seg_tile_lo: int = struct.field(pytree_node=False, default=0)
     seg_tile_hi: int = struct.field(pytree_node=False, default=0)
+    # Constant-in-degree structure: every receiver in [0, num_const_receivers)
+    # has exactly const_in_degree sorted consecutive edges and no padding
+    # rows interleave (the M2G decoder: exactly 3 mesh senders per grid
+    # node, reference src/create_graphs.py:244-295).  Aggregation then runs
+    # as a dense reshape-sum instead of a segment reduction.
+    const_in_degree: int = struct.field(pytree_node=False, default=0)
+    num_const_receivers: int = struct.field(pytree_node=False, default=0)
 
     @property
     def padded_num_edges(self) -> int:
@@ -251,6 +266,32 @@ def build_graph(
             t_neigh_edge = jnp.asarray(te)
             t_neigh_mask = jnp.asarray(tm)
 
+    # Mask-static precomputes (see Graph docstring): unmasked in-degree and
+    # the GCN symmetric normalizer with implicit self loops.
+    degrees_f = np.bincount(
+        r_sorted, minlength=num_receivers
+    ).astype(np.float32) if e > 0 else np.zeros(num_receivers, np.float32)
+    dinv = 1.0 / np.sqrt(degrees_f + 1.0)
+    gcn_norm = np.zeros(e_pad, np.float32)
+    if e > 0:
+        # Sender normalizer looks up the RECEIVER-side degree array (PyG
+        # gcn_norm semantics — unified node space asserted by GCNConv).
+        dinv_nodes = np.zeros(num_nodes, np.float32)
+        dinv_nodes[: min(num_receivers, num_nodes)] = dinv[
+            : min(num_receivers, num_nodes)
+        ]
+        gcn_norm[:e] = dinv_nodes[s_sorted] * dinv[r_sorted]
+
+    # Constant-degree structure (decoder M2G: k = 3 for every grid node).
+    const_k, const_r = 0, 0
+    if e > 0 and e == e_pad:
+        nz = np.flatnonzero(degrees_f)
+        if nz.size and nz[-1] == nz.size - 1:  # receivers 0..R0-1 contiguous
+            k0 = int(degrees_f[0])
+            if k0 > 0 and np.all(degrees_f[: nz.size] == k0) \
+                    and k0 * nz.size == e:
+                const_k, const_r = k0, int(nz.size)
+
     from ..ops.pallas_segment import DEFAULT_TILE_RECEIVERS as _TR
     from ..ops.gather import build_gather_aux
 
@@ -279,8 +320,12 @@ def build_graph(
         step_sched=step_sched,
         senders_aux=senders_aux,
         receivers_aux=receivers_aux,
+        static_in_degree=jnp.asarray(degrees_f),
+        gcn_norm=jnp.asarray(gcn_norm),
         num_nodes=int(num_nodes),
         num_receivers=num_receivers,
         num_edges=e,
         seg_tile_receivers=_TR,
+        const_in_degree=const_k,
+        num_const_receivers=const_r,
     )

@@ -89,10 +89,18 @@ class GCNConv(nn.Module):
         )
         xw = x @ kernel
 
-        deg = seg_ops.masked_in_degree(graph, mask) + 1.0  # self loop included
-        dinv = jax.lax.rsqrt(deg)
-
-        norm = jnp.take(dinv, graph.senders) * jnp.take(dinv, graph.receivers)
+        if edge_mask is None and graph.gcn_norm is not None:
+            # Mask-static graph: both the symmetric edge normalizer and the
+            # self-loop degree are host precomputes (structure.build_graph)
+            # — no runtime degree reduction or dinv gathers.
+            deg = graph.static_in_degree + 1.0
+            norm = graph.gcn_norm
+        else:
+            deg = seg_ops.masked_in_degree(graph, mask) + 1.0  # + self loop
+            dinv = jax.lax.rsqrt(deg)
+            norm = jnp.take(dinv, graph.senders) * jnp.take(
+                dinv, graph.receivers
+            )
         from ..ops.gcn_agg import gcn_aggregate, supports_gcn_aggregate
 
         if supports_gcn_aggregate(graph, self.features):

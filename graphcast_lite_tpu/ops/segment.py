@@ -46,7 +46,16 @@ def gather_senders(x: jnp.ndarray, graph: Graph) -> jnp.ndarray:
 
 
 def masked_in_degree(graph: Graph, edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """[R] float32 in-degree per receiver under the (possibly pruned) mask."""
+    """[R] float32 in-degree per receiver under the (possibly pruned) mask.
+
+    With no runtime mask (or the graph's own mask) the degree is a host
+    constant (``graph.static_in_degree``) — no device reduction at all;
+    SparseGAT's pruned masks take the segment-sum path."""
+    if (
+        (edge_mask is None or edge_mask is graph.edge_mask)
+        and graph.static_in_degree is not None
+    ):
+        return graph.static_in_degree
     mask = graph.edge_mask if edge_mask is None else edge_mask
     return jax.ops.segment_sum(
         mask,
@@ -83,6 +92,17 @@ def aggregate_sum(
     """
     mask = graph.edge_mask if edge_mask is None else edge_mask
     masked = messages * mask[:, None]
+    if graph.const_in_degree > 0 and masked.ndim == 2:
+        # Constant in-degree + sorted receivers (M2G decoder: exactly 3
+        # senders per grid node): the segment reduction IS a reshape-sum —
+        # a dense op XLA fuses freely, no kernel or scatter needed.
+        k, r0 = graph.const_in_degree, graph.num_const_receivers
+        out = masked.reshape(r0, k, masked.shape[-1]).astype(
+            jnp.float32
+        ).sum(axis=1).astype(masked.dtype)
+        if r0 < graph.num_receivers:
+            out = jnp.pad(out, ((0, graph.num_receivers - r0), (0, 0)))
+        return out
     if (
         graph.seg_chunk_base is not None
         and masked.ndim == 2
