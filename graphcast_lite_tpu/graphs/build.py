@@ -131,12 +131,21 @@ def build_graph_set(
         proc_attr = edge_spatial_features(
             mlat, mlon, mlat, mlon, proc_edges[0], proc_edges[1]
         )
+    # Per-level constant-degree blocks (the processor's segment-free
+    # layout): valid only for unpruned global meshes, where level ℓ's
+    # vertex prefix has exactly 10·4^ℓ+2 ids (regional pruning remaps ids
+    # and breaks both the prefix property and degree regularity — the
+    # builder then returns None and the COO path is used).
+    level_sizes = None
+    if region_bounds is None:
+        level_sizes = [10 * 4 ** int(l) + 2 for l in sorted(mesh_levels)]
     processing = build_graph(
         proc_edges[0],
         proc_edges[1],
         num_nodes=num_mesh,
         edge_attr=proc_attr,
         build_ell=True,
+        level_sizes=level_sizes,
     )
 
     # --- decoding graph: mesh -> grid, triangle containment ------------------

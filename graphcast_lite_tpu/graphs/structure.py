@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["Graph", "StepSched", "pad_to_multiple", "build_graph"]
+__all__ = ["Graph", "StepSched", "RegularBlocks", "pad_to_multiple",
+           "build_graph", "build_regular_blocks"]
 
 _LANE = 128  # pad edge counts to the TPU lane width
 
@@ -55,6 +56,126 @@ class StepSched:
 
 def pad_to_multiple(n: int, m: int = _LANE) -> int:
     return ((n + m - 1) // m) * m
+
+
+@struct.dataclass
+class RegularBlocks:
+    """Constant-degree per-level edge layout for icosahedral multimeshes.
+
+    The icosphere is quasi-regular: within ONE subdivision level every
+    vertex has exactly 6 neighbors (12 pentagon seeds: 5), and the
+    multimesh's level-ℓ edges connect only the nested vertex PREFIX
+    ids < V(ℓ) (reference src/mesh/create_mesh.py:25-223 nesting).  Each
+    level therefore becomes a dense [V(ℓ), K≈6] receiver-major table:
+
+      * aggregation = reshape-sum (adjoint: broadcast) — no segment
+        reduction, no scatter;
+      * the receiver-side feature rows broadcast for free (row r*K+k has
+        receiver r) — no receiver gather;
+      * only the sender gather remains.
+
+    Rows are SLOT-MAJOR within a block (row = k·V + r, receiver r): every
+    per-slot slice [V, F] is a clean 2-D tile — receiver broadcast is a
+    k-fold tile and aggregation a k-term slice sum, with no 6-sublane 3-D
+    shapes anywhere (measured: the [V, 6, F] receiver-major layout loses
+    ~30% to sublane padding).  Blocks are concatenated (block b at static
+    offset Σ_{b'<b} V_{b'}·K_{b'}) then lane-padded; padding rows carry
+    mask 0 / sender 0.  The COO layout (sorted-by-receiver) remains the
+    graph's public contract; this is an internal processor layout.
+    """
+
+    senders: jnp.ndarray              # [rows_pad] int32
+    mask: jnp.ndarray                 # [rows_pad] float32
+    edge_attr: Optional[jnp.ndarray]  # [rows_pad, F_e]
+    block_recv: tuple = struct.field(pytree_node=False, default=())
+    block_k: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def rows_padded(self) -> int:
+        return int(self.senders.shape[0])
+
+
+def build_regular_blocks(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    level_sizes,
+    num_receivers: int,
+    edge_attr: Optional[np.ndarray] = None,
+    max_waste: float = 0.25,
+    pad_multiple: int = _LANE,
+    avoid_rows: int = -1,
+) -> Optional[RegularBlocks]:
+    """Per-level constant-degree tables, or None when the structure does
+    not hold (pruned/regional meshes, exotic level sets).
+
+    ``level_sizes``: ascending vertex-prefix sizes V(ℓ) of the multimesh
+    levels.  An edge belongs to the smallest level with BOTH endpoints in
+    its prefix (coarse vertices are never adjacent at finer levels)."""
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    e = senders.shape[0]
+    if e == 0 or not level_sizes:
+        return None
+    sizes = sorted(int(v) for v in level_sizes)
+    if sizes[-1] > num_receivers:
+        return None
+    both_max = np.maximum(senders, receivers)
+    level_of = np.searchsorted(sizes, both_max, side="right")
+    if (level_of >= len(sizes)).any():
+        return None   # edges outside every level prefix
+
+    snd_tabs, mask_tabs, attr_tabs = [], [], []
+    block_recv, block_k = [], []
+    total_rows = 0
+    for li, v in enumerate(sizes):
+        em = level_of == li
+        if not em.any():
+            return None
+        r = receivers[em]
+        s = senders[em]
+        deg = np.bincount(r, minlength=v)
+        k = int(deg.max())
+        if k == 0 or v * k > (1.0 + max_waste) * em.sum():
+            return None
+        order = np.argsort(r, kind="stable")
+        r_s, s_s = r[order], s[order]
+        slot = np.arange(r_s.size) - np.concatenate(
+            [[0], np.cumsum(deg)[:-1]]
+        )[r_s]
+        st = np.zeros((k, v), np.int32)
+        mt = np.zeros((k, v), np.float32)
+        st[slot, r_s] = s_s
+        mt[slot, r_s] = 1.0
+        snd_tabs.append(st.reshape(-1))
+        mask_tabs.append(mt.reshape(-1))
+        if edge_attr is not None:
+            at = np.zeros((k, v, edge_attr.shape[1]), np.float32)
+            at[slot, r_s] = edge_attr[em][order]
+            attr_tabs.append(at.reshape(k * v, -1))
+        block_recv.append(v)
+        block_k.append(k)
+        total_rows += v * k
+
+    rows_pad = max(pad_to_multiple(total_rows, pad_multiple), pad_multiple)
+    if rows_pad == avoid_rows:
+        # The block-layout carrier is distinguished from the COO carrier by
+        # its row count (models.gnn gates on it); keep them distinct.
+        rows_pad += pad_multiple
+    snd = np.zeros(rows_pad, np.int32)
+    msk = np.zeros(rows_pad, np.float32)
+    snd[:total_rows] = np.concatenate(snd_tabs)
+    msk[:total_rows] = np.concatenate(mask_tabs)
+    attr = None
+    if edge_attr is not None:
+        attr = np.zeros((rows_pad, edge_attr.shape[1]), np.float32)
+        attr[:total_rows] = np.concatenate(attr_tabs, axis=0)
+    return RegularBlocks(
+        senders=jnp.asarray(snd),
+        mask=jnp.asarray(msk),
+        edge_attr=jnp.asarray(attr) if attr is not None else None,
+        block_recv=tuple(block_recv),
+        block_k=tuple(block_k),
+    )
 
 
 @struct.dataclass
@@ -121,6 +242,9 @@ class Graph:
     # per conv/step at runtime).
     static_in_degree: Optional[jnp.ndarray] = None   # [R] float32
     gcn_norm: Optional[jnp.ndarray] = None           # [E_pad] f32 dinv_s*dinv_r
+    # Constant-degree per-level edge layout (icosahedral multimesh only;
+    # see RegularBlocks) — the processor's segment-free fast path.
+    reg_blocks: Optional[RegularBlocks] = None
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_receivers: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
@@ -153,6 +277,7 @@ def build_graph(
     build_ell: bool = True,
     max_ell_degree: int = 64,
     pad_multiple: int = _LANE,
+    level_sizes=None,
 ) -> Graph:
     """Sort COO edges by receiver, pad, and (optionally) build the ELL table.
 
@@ -301,6 +426,14 @@ def build_graph(
     senders_aux = build_gather_aux(s_full, int(num_nodes), n_real=e)
     receivers_aux = build_gather_aux(r_full, num_receivers, n_real=e)
 
+    reg_blocks = None
+    if level_sizes:
+        reg_blocks = build_regular_blocks(
+            senders, receivers, level_sizes, num_receivers,
+            edge_attr=edge_attr, pad_multiple=pad_multiple,
+            avoid_rows=e_pad,
+        )
+
     return Graph(
         senders=jnp.asarray(s_full),
         receivers=jnp.asarray(r_full),
@@ -321,6 +454,7 @@ def build_graph(
         senders_aux=senders_aux,
         receivers_aux=receivers_aux,
         static_in_degree=jnp.asarray(degrees_f),
+        reg_blocks=reg_blocks,
         gcn_norm=jnp.asarray(gcn_norm),
         num_nodes=int(num_nodes),
         num_receivers=num_receivers,

@@ -414,6 +414,26 @@ class _MegaEdgeMLP(nn.Module):
         )
 
 
+def _use_reg_blocks(graph: Graph, edge_mask) -> bool:
+    """Regular per-level block path policy (GCLT_REG_EDGE=1 opts in).
+
+    Default OFF: measured on the flagship 512x256 v5e workload the
+    slot-major constant-degree layout is PARITY with the COO+segment-kernel
+    forward (249.2 vs 247.4 ms inference rollout — both paths sit at the
+    unfused [E,256]-traffic floor), and its plain-autodiff backward OOMs
+    at AR-4 BPTT (the custom-VJP COO path is memory-engineered; with
+    GCLT_SCAN_REMAT=full it runs but nets 1471 vs 1389 ms/train step).
+    Kept as tested machinery: it is pure XLA (no Pallas), so it is the
+    preferred base for backends where the segment kernel is unavailable,
+    and for a future memory-engineered custom VJP (its aggregation adjoint
+    is a broadcast, not a scatter)."""
+    import os
+
+    if graph.reg_blocks is None or edge_mask is not None:
+        return False
+    return os.environ.get("GCLT_REG_EDGE", "0") not in ("0", "false", "off")
+
+
 def _use_edge_step_path(graph: Graph, hidden_dim: int, edge_dim: int,
                         activation: str) -> bool:
     """Fused edge-step kernel policy: inference traces only (no autodiff
@@ -596,15 +616,19 @@ class InteractionNetProcessor(nn.Module):
         edge_attr_raw: Optional[jnp.ndarray] = None,
         edge_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        raw = edge_attr_raw if edge_attr_raw is not None else graph.edge_attr
-        e = TorchLinear(self.edge_latent_dim, name="edge_encoder_lin")(raw)
-        act = resolve_activation(self.activation)
-        e = PReLU(name="edge_encoder_act")(e) if act is None else act(e)
-
         lazy = _use_lazy_processor(
             graph, self.hidden_dim, self.edge_latent_dim, self.activation,
             self.use_layer_norm,
         )
+        raw = edge_attr_raw if edge_attr_raw is not None else graph.edge_attr
+        if (lazy and edge_attr_raw is None
+                and _use_reg_blocks(graph, edge_mask)):
+            # The lazy scan body runs the regular-block layout: the edge
+            # carrier v must be initialized in the SAME row order.
+            raw = graph.reg_blocks.edge_attr
+        e = TorchLinear(self.edge_latent_dim, name="edge_encoder_lin")(raw)
+        act = resolve_activation(self.activation)
+        e = PReLU(name="edge_encoder_act")(e) if act is None else act(e)
 
         # GCLT_SCAN_REMAT selects the scan-step remat policy (trace-time):
         #   none (default) — no inner remat: the trainers' OUTER AR-step
@@ -766,6 +790,87 @@ class _LazyINLayer(nn.Module):
         w1s, w1r, w1e = k0[:d], k0[d:2 * d], k0[2 * d:]
         w1e_eff = a[:, None].astype(w1e.dtype) * w1e
         b1_eff = b0 + c.astype(w1e.dtype) @ w1e
+
+        if (_use_reg_blocks(graph, edge_mask)
+                and v.shape[0] == graph.reg_blocks.rows_padded):
+            # Constant-degree per-level blocks (graphs.structure
+            # .RegularBlocks): receiver rows BROADCAST (row r·K+k has
+            # receiver r) and aggregation is a reshape-sum — the only
+            # remaining irregular op is the sender gather.  Pure XLA:
+            # differentiable, fusable, and the reshape-sum adjoint is a
+            # broadcast instead of a scatter.  ``v`` is carried in the
+            # block row layout (the processor initialized it from
+            # rb.edge_attr).
+            rb = graph.reg_blocks
+            xs = x @ w1s
+            xr = x @ w1r
+            act = resolve_activation(self.activation)
+            f32 = jnp.float32
+            m_nodes = graph.num_receivers
+
+            agg_sum = None
+            v_parts = []
+            sm = sq = cnt = 0.0
+            off = 0
+            for v_sz, k in zip(rb.block_recv, rb.block_k):
+                n = v_sz * k
+                snd_b = rb.senders[off:off + n]
+                msk_b = rb.mask[off:off + n]
+                v_b = v[off:off + n]
+                # Slot-major rows (row = slot*V + r): the receiver term is
+                # a k-fold tile of xr's first V rows — everything 2-D.
+                h_b = (
+                    jnp.take(xs, snd_b, axis=0)
+                    + jnp.tile(xr[:v_sz], (k, 1))
+                    + v_b @ w1e_eff
+                    + b1_eff
+                )
+                u_b = act(h_b) @ k1 + b1                       # [n, de]
+                um_b = u_b * msk_b[:, None].astype(u_b.dtype)
+                blk = um_b[:v_sz].astype(f32)
+                for s_i in range(1, k):
+                    blk = blk + um_b[s_i * v_sz:(s_i + 1) * v_sz].astype(f32)
+                blk = blk.astype(u_b.dtype)
+                if v_sz < m_nodes:
+                    blk = jnp.pad(blk, ((0, m_nodes - v_sz), (0, 0)))
+                agg_sum = blk if agg_sum is None else agg_sum + blk
+                v_new_b = (
+                    a.astype(v_b.dtype)[None, :] * v_b
+                    + c.astype(v_b.dtype) + u_b
+                )
+                v_parts.append(v_new_b)
+                wf = msk_b.astype(f32)[:, None]
+                vf = v_new_b.astype(f32)
+                sm = sm + (vf * wf).sum()
+                sq = sq + (jnp.square(vf) * wf).sum()
+                cnt = cnt + wf.sum()
+                off += n
+            rows_pad = rb.senders.shape[0]
+            v_new = jnp.concatenate(v_parts, axis=0)
+            if off < rows_pad:
+                v_new = jnp.concatenate(
+                    [v_new, v[off:]], axis=0
+                )  # padding rows ride along unchanged
+
+            deg = seg_ops.masked_in_degree(graph, edge_mask)
+            agg = agg_sum / jnp.maximum(
+                deg, 1.0
+            )[:, None].astype(agg_sum.dtype)
+            node_in = jnp.concatenate([x, agg], axis=-1)
+            node_update = _TwoLayerMLP(
+                hid, d, self.activation, name="node_mlp"
+            )(node_in)
+            new_x = PyGLayerNorm(mode="node", name="node_norm")(
+                x + node_update
+            )
+            denom = jnp.maximum(cnt * de, 1.0)
+            mu = sm / denom
+            var = jnp.maximum(sq / denom - jnp.square(mu), 0.0)
+            inv_sigma = jax.lax.rsqrt(var + 1e-5)
+            gamma = ln.weight.astype(f32)
+            beta = ln.bias.astype(f32)
+            return new_x, v_new, gamma * inv_sigma, \
+                beta - gamma * mu * inv_sigma
 
         if _use_edge_step_path(graph, hid, de, self.activation):
             # The whole edge side of the step in ONE Pallas pass: receiver

@@ -379,3 +379,48 @@ def test_lazy_processor_step_kernel_parity(rng):
     finally:
         os.environ.pop("GCLT_LAZY_EDGE", None)
         os.environ.pop("GCLT_EDGE_STEP", None)
+
+
+def test_regular_block_processor_matches_coo(monkeypatch):
+    """The constant-degree per-level block layout (graphs.structure
+    .RegularBlocks, GCLT_REG_EDGE=1) must reproduce the COO processor
+    exactly: same params, same outputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from graphcast_lite_tpu.graphs.build import build_graph_set
+    from graphcast_lite_tpu.models.gnn import InteractionNetProcessor
+
+    lat = np.linspace(-80, 80, 16).astype(np.float32)
+    lon = np.arange(0, 360, 360 / 32).astype(np.float32)
+    gs = build_graph_set(lat, lon, [1, 2], 0.6)
+    pg = gs.processing
+    assert pg.reg_blocks is not None
+    # Level prefixes 42 / 162, degree 6, slot-major layout.
+    assert pg.reg_blocks.block_recv == (42, 162)
+    assert pg.reg_blocks.block_k == (6, 6)
+    # Block masks cover exactly the real edges.
+    assert int(np.asarray(pg.reg_blocks.mask).sum()) == pg.num_edges
+
+    m, h = gs.num_mesh_nodes, 32
+    proc = InteractionNetProcessor(
+        node_dim=h, raw_edge_dim=4, edge_latent_dim=h, hidden_dim=h,
+        num_steps=3, activation="swish", use_layer_norm=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(m, h).astype(np.float32))
+    params = proc.init(jax.random.PRNGKey(0), x, pg)
+
+    monkeypatch.setenv("GCLT_LAZY_EDGE", "1")
+    monkeypatch.setenv("GCLT_REG_EDGE", "1")
+    out_reg = np.asarray(proc.apply(params, x, pg))
+    monkeypatch.setenv("GCLT_REG_EDGE", "0")
+    out_coo = np.asarray(proc.apply(params, x, pg))
+    np.testing.assert_allclose(out_reg, out_coo, atol=2e-5)
+
+    # Pruned/regional meshes must NOT carry blocks (prefix ids break).
+    gs_r = build_graph_set(
+        np.linspace(40, 60, 8).astype(np.float32),
+        np.linspace(60, 90, 12).astype(np.float32),
+        [1, 2], 0.6, region_bounds=(40, 60, 60, 90),
+    )
+    assert gs_r.processing.reg_blocks is None
