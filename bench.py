@@ -394,12 +394,17 @@ def _last_loss_bump(loss, like):
     return jnp.asarray(loss, like.dtype)
 
 
-def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
+def bench_training_sharded(config_name: str = "512x256", iters: int = 3,
+                           encoder_gat: bool = False):
     """S=1 sharded-path overhead: the SAME flagship train step through
     ``parallel.sharded_model.make_sharded_train_step`` on a (1, 1) mesh on
     the single real chip, vs the unsharded ``bench_training`` step.  This
     bounds the pure sharding-machinery overhead (shard_map, halo indexing,
-    psum with one participant) with zero communication."""
+    psum with one participant) with zero communication.
+
+    ``encoder_gat=True`` swaps the encoder to a 2-head GATConv — the
+    config family bench_gspmd_fallback measures through the GSPMD path
+    (2310.9 ms); the shard_map bipartite GAT stack now covers it."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -420,6 +425,16 @@ def bench_training_sharded(config_name: str = "512x256", iters: int = 3):
     else:
         cfg = presets.interaction_net_512x256()
         lat, lon = presets.wb2_512x256_grid()
+    if encoder_gat:
+        from graphcast_lite_tpu.config import GATProps, GraphLayerType
+
+        enc_gat = cfg.pipeline.encoder.gcn.model_copy(update={
+            "layer_type": GraphLayerType.GATConv,
+            "gat_props": GATProps(num_heads=2, sparsity_thresholds=[0.1]),
+        })
+        cfg = cfg.model_copy(update={"pipeline": cfg.pipeline.model_copy(
+            update={"encoder": cfg.pipeline.encoder.model_copy(
+                update={"gcn": enc_gat})})})
     n_feat, obs, ar = (cfg.data.num_features_used, cfg.data.obs_window_used,
                        cfg.max_ar_steps)
     gs = build_graph_set(lat, lon, cfg.graph.mesh_levels,
@@ -708,6 +723,16 @@ def main():
             "metric": f"sharded_s1_step_ms_{cfgname}", "value":
             res["sharded_s1_step_ms"], "unit": "ms", "vs_baseline": 0.0,
             "extra": res,
+        }))
+        return
+    if only == "gat_sharded":
+        # The GAT-encoder family through the shard_map bipartite stacks —
+        # direct A/B against bench.py gspmd (same config, GSPMD path).
+        res = bench_training_sharded("512x256", encoder_gat=True)
+        print(json.dumps({
+            "metric": "sharded_s1_gat_encoder_step_ms_512x256",
+            "value": res["sharded_s1_step_ms"], "unit": "ms",
+            "vs_baseline": 0.0, "extra": res,
         }))
         return
     extra = {}

@@ -26,13 +26,16 @@ scaling efficiency).  Strategy:
   tests/test_sharded_model.py).
 
 Supported layer types (see ``ShardedWeatherForward._validate`` — the
-authoritative gate): encoder/decoder = ConvGCN stacks; processor =
-InteractionNet / ConvGCN / GAT / SparseGAT (``_gat_stack`` /
-``_sparse_gat``, with per-shard edge-mask pruning state).  Product-graph
-models, and models whose ENCODER or DECODER uses attention layers, fall
-back to the GSPMD auto-sharding path (``parallel.sharding``; measured at
-2310.9 ms vs 1921.0 ms for the sharded body on the 512x256 GAT-encoder
-config, ``bench.py gspmd``).
+authoritative gate): encoder/decoder = ConvGCN or GATConv stacks
+(``_gat_stack_bipartite``); processor = InteractionNet / ConvGCN / GAT /
+SparseGAT (``_gat_stack`` / ``_sparse_gat``, with per-shard edge-mask
+pruning state).  Only product-graph models fall back to the GSPMD
+auto-sharding path (``parallel.sharding``).  Measured S=1 512x256
+GAT-encoder train step: shard_map 2513.7 ms (incl. the S=1-only forced
+scan remat) vs GSPMD 2310.9 ms (``bench.py gat_sharded`` / ``gspmd``) —
+at one chip GSPMD is the better dispatch for this family; the shard_map
+body is what scales at S>=2, where the remat drops out and the edge work
+splits spatially (a batch-1 GSPMD program cannot split its batch axis).
 """
 
 from __future__ import annotations
@@ -794,6 +797,99 @@ def _gat_core(core_p, x, ga: GraphArrays, num_shards: int, heads: int,
     return out, alpha
 
 
+def _gat_core_bipartite(core_p, x_send, x_recv, ga: GraphArrays,
+                        num_shards: int, heads: int, edge_mask):
+    """GATConv on a sharded BIPARTITE graph (G2M / M2G enc/dec stacks).
+
+    Unified-space semantics preserved (models/gnn.py:129-195): receivers
+    softmax over their incoming edges PLUS the implicit self loop; sender-
+    side rows have no incoming edges, so their softmax collapses to the
+    self loop and their output is the pure projection xp (mean over heads)
+    + bias — exactly the single-device model's value for those rows.
+    Only the sender projections + their attention terms cross shards (one
+    packed halo exchange, like the GCN stack's).  Returns
+    (out_send, out_recv)."""
+    kernel = core_p["kernel"]
+    att_src, att_dst = core_p["att_src"], core_p["att_dst"]
+    ns, hc = x_send.shape[0], kernel.shape[1]
+    nr = x_recv.shape[0]
+    c = hc // heads
+    xp_s = (x_send @ kernel).reshape(ns, heads, c)
+    xp_r = (x_recv @ kernel).reshape(nr, heads, c)
+    a_src_s = (xp_s * att_src).sum(-1)        # [Ns, H]
+    a_src_r = (xp_r * att_src).sum(-1)        # receiver self-loop src term
+    a_dst_r = (xp_r * att_dst).sum(-1)
+
+    packed = jnp.concatenate([xp_s.reshape(ns, hc), a_src_s], axis=-1)
+    ext = _halo_rows(packed, ga, num_shards)
+    xp_ext = ext[:, :hc].reshape(-1, heads, c)
+    a_src_ext = ext[:, hc:]
+
+    logits = (jnp.take(a_src_ext, ga.senders, axis=0)
+              + jnp.take(a_dst_r, ga.receivers, axis=0))
+    logits = jax.nn.leaky_relu(logits, 0.2)
+    self_logits = jax.nn.leaky_relu(a_src_r + a_dst_r, 0.2)
+
+    m = edge_mask[:, None]
+    neg = jnp.asarray(-1e30, logits.dtype)
+    ml = jnp.where(m > 0, logits, neg)
+    seg_max = jax.ops.segment_max(
+        ml, ga.receivers, num_segments=ga.num_recv, indices_are_sorted=True
+    )
+    seg_max = jnp.maximum(jnp.maximum(seg_max, self_logits), neg)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    shifted = jnp.exp(ml - jnp.take(seg_max, ga.receivers, axis=0)) * m
+    denom = jax.ops.segment_sum(
+        shifted, ga.receivers, num_segments=ga.num_recv,
+        indices_are_sorted=True,
+    )
+    self_exp = jnp.exp(self_logits - seg_max)
+    denom = jnp.maximum(denom + self_exp, 1e-16)
+    w = shifted / jnp.take(denom, ga.receivers, axis=0)
+    self_w = self_exp / denom
+
+    msgs = jnp.take(xp_ext, ga.senders, axis=0) * w[..., None]
+    out_r = jax.ops.segment_sum(
+        msgs * m[..., None], ga.receivers, num_segments=ga.num_recv,
+        indices_are_sorted=True,
+    )
+    out_r = (out_r + xp_r * self_w[..., None]).mean(axis=1)
+    out_s = xp_s.mean(axis=1)                  # self-only softmax -> w=1
+    if "bias" in core_p:
+        out_r = out_r + core_p["bias"]
+        out_s = out_s + core_p["bias"]
+    return out_s, out_r
+
+
+def _gat_stack_bipartite(gl_p, cfg, x_send, x_recv, ga: GraphArrays,
+                         num_shards: int):
+    """GraphLayerModule's GATConv branch over a bipartite graph — the
+    attention-model encoder/decoder stacks (VERDICT r4 task 8; previously
+    these fell to the GSPMD path at 2310.9 vs 1921.0 ms)."""
+    heads = cfg.gat_props.num_heads if cfg.gat_props else 1
+    hidden = list(cfg.hidden_dims or [])
+    n_layers = len(hidden) + 1
+    act_name = (cfg.activation or "prelu").lower()
+    for i in range(n_layers):
+        x_send, x_recv = _gat_core_bipartite(
+            gl_p[f"conv_{i}"]["core"], x_send, x_recv, ga, num_shards,
+            heads, ga.edge_mask.astype(x_recv.dtype),
+        )
+        if i < n_layers - 1:
+            if act_name == "prelu":
+                alpha = gl_p["act"]["alpha"]
+                x_send = _prelu(x_send, alpha)
+                x_recv = _prelu(x_recv, alpha)
+            else:
+                fn = (jax.nn.silu if act_name in ("swish", "silu")
+                      else jax.nn.relu)
+                x_send, x_recv = fn(x_send), fn(x_recv)
+    if cfg.use_layer_norm:
+        x_send = _node_ln(x_send, gl_p["norm"])
+        x_recv = _node_ln(x_recv, gl_p["norm"])
+    return x_send, x_recv
+
+
 def _gat_stack(gl_p, cfg, x, ga: GraphArrays, num_shards: int):
     """GraphLayerModule's GATConv branch (models/weather.py:137-161)."""
     heads = cfg.gat_props.num_heads if cfg.gat_props else 1
@@ -968,9 +1064,11 @@ class ShardedWeatherForward:
             )
         for name in ("encoder", "decoder"):
             mc = getattr(pl, name)
-            if mc.gcn.layer_type != GraphLayerType.ConvGCN:
+            if mc.gcn.layer_type not in (
+                GraphLayerType.ConvGCN, GraphLayerType.GATConv,
+            ):
                 raise NotImplementedError(
-                    f"sharded {name} supports ConvGCN only "
+                    f"sharded {name} supports ConvGCN/GATConv only "
                     f"(got {mc.gcn.layer_type}); use the GSPMD path"
                 )
             if mc.gcn.use_layer_norm and (mc.gcn.layer_norm_mode or "node") != "node":
@@ -1018,10 +1116,16 @@ class ShardedWeatherForward:
         if pl.encoder.mlp is not None:
             grid_in = _mlp_tower(pe["mlp"], grid_in)
             mesh_in = _mlp_tower(pe["mlp"], mesh_in)
-        grid_latent, mesh_latent = _gcn_stack(
-            pe["graph_layer"], pl.encoder.gcn, grid_in, mesh_in,
-            arrs_local.enc, s_n, bipartite=True,
-        )
+        if pl.encoder.gcn.layer_type == GraphLayerType.GATConv:
+            grid_latent, mesh_latent = _gat_stack_bipartite(
+                pe["graph_layer"], pl.encoder.gcn, grid_in, mesh_in,
+                arrs_local.enc, s_n,
+            )
+        else:
+            grid_latent, mesh_latent = _gcn_stack(
+                pe["graph_layer"], pl.encoder.gcn, grid_in, mesh_in,
+                arrs_local.enc, s_n, bipartite=True,
+            )
 
         # Processor over E_M (mesh-local).
         pp = p["processor"]
@@ -1062,10 +1166,16 @@ class ShardedWeatherForward:
         if pl.decoder.mlp is not None:
             g = _mlp_tower(pd["mlp"], g)
             m = _mlp_tower(pd["mlp"], m)
-        _, out_grid = _gcn_stack(
-            pd["graph_layer"], pl.decoder.gcn, m, g,
-            arrs_local.dec, s_n, bipartite=True,
-        )
+        if pl.decoder.gcn.layer_type == GraphLayerType.GATConv:
+            _, out_grid = _gat_stack_bipartite(
+                pd["graph_layer"], pl.decoder.gcn, m, g,
+                arrs_local.dec, s_n,
+            )
+        else:
+            _, out_grid = _gcn_stack(
+                pd["graph_layer"], pl.decoder.gcn, m, g,
+                arrs_local.dec, s_n, bipartite=True,
+            )
         return out_grid, new_mask
 
 
