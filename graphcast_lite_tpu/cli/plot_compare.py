@@ -37,7 +37,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from ..inference.maps import (
-        extract_field, plot_compare_algos, plot_diff, plot_triad,
+        extract_field, plot_compare_algos, plot_diff, plot_final_trio,
+        plot_triad,
     )
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -88,6 +89,13 @@ def main(argv=None):
             truth, fields[names[0]], fields[names[1]], lats, lons,
             os.path.join(args.out_dir, f"diff_{tag}.png"),
             labels=(names[0], names[1]), title=title,
+        ))
+        # Final-shot figure (~ reference plot_final_trio.py): truth vs
+        # first (control) vs last (best) prediction on one shared scale.
+        paths.append(plot_final_trio(
+            truth, fields[names[0]], fields[names[-1]], lats, lons,
+            os.path.join(args.out_dir, f"final_trio_{tag}.png"),
+            labels=(names[0], names[-1]), title=title,
         ))
     for pth in paths:
         print(f"[plot_compare] wrote {pth}")

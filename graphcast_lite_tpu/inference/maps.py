@@ -21,6 +21,7 @@ __all__ = [
     "plot_compare_algos",
     "plot_diff",
     "plot_triad",
+    "plot_final_trio",
 ]
 
 
@@ -238,6 +239,43 @@ def plot_triad(
     emax = np.abs(err).max() or 1.0
     _imshow_panel(axes[2], fig, err, lats, lons, "error", cmap="coolwarm",
                   vmin=-emax, vmax=emax)
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
+def plot_final_trio(
+    truth: np.ndarray,
+    pred_base: np.ndarray,
+    pred_best: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    out_path: str,
+    labels=("control", "best"),
+    title: str = "",
+) -> str:
+    """Truth / control forecast / best forecast side by side on a shared
+    scale (~ reference scripts/plot_final_trio.py: the presentation's
+    final-shot figure comparing the baseline and the improved pipeline
+    against ERA5 truth at one horizon)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(14, 3.6), constrained_layout=True)
+    allv = np.concatenate(
+        [truth.ravel(), pred_base.ravel(), pred_best.ravel()]
+    )
+    vmin, vmax = np.percentile(allv, [1, 99])
+    _imshow_panel(axes[0], fig, truth, lats, lons, f"truth {title}",
+                  vmin=vmin, vmax=vmax)
+    rmse_b = float(np.sqrt(np.mean((pred_base - truth) ** 2)))
+    rmse_x = float(np.sqrt(np.mean((pred_best - truth) ** 2)))
+    _imshow_panel(axes[1], fig, pred_base, lats, lons,
+                  f"{labels[0]} (RMSE {rmse_b:.2f})", vmin=vmin, vmax=vmax)
+    _imshow_panel(axes[2], fig, pred_best, lats, lons,
+                  f"{labels[1]} (RMSE {rmse_x:.2f})", vmin=vmin, vmax=vmax)
     fig.savefig(out_path, dpi=110)
     plt.close(fig)
     return out_path

@@ -72,7 +72,8 @@ def test_plot_compare_cli(eval_exp, tmp_path):
         "--preds", f"base={preds}", "--preds", f"alt={preds}",
         "--var-idx", "0", "--step-idx", "0",
     ])
-    assert len(paths) == 3
+    assert len(paths) == 4     # compare / triad / diff / final_trio
+    assert any("final_trio" in p for p in paths)
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 1000
 
