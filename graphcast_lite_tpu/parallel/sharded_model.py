@@ -401,6 +401,10 @@ class GraphArrays:
     s_sorted: Optional[jnp.ndarray] = None       # [S, E]
     s_chunk_base: Optional[jnp.ndarray] = None   # [S, NC_s]
     s_chunk_tile: Optional[jnp.ndarray] = None
+    # Host-precomputed in-degree under the STATIC edge mask ([S, R_s] f32)
+    # — the sharded mirror of Graph.static_in_degree; consumers fall back
+    # to a runtime segment-sum only under a pruned (SparseGAT) mask.
+    static_in_degree: Optional[jnp.ndarray] = None
     banded: bool = struct.field(pytree_node=False, default=False)
     # 2-D tile topology (halo mode "tiled"): static direction list + shape.
     tile_shape: Optional[Tuple[int, int]] = struct.field(
@@ -488,6 +492,11 @@ def _graph_arrays(sg: ShardedGraph, halos) -> GraphArrays:
     r_base, r_tile = _pad_schedules(r_scheds, 0, -ntiles_r)
     s_base, s_tile = _pad_schedules(s_scheds, 0, -ntiles_s)
 
+    deg = np.zeros((s_n, n_s), np.float32)
+    for s in range(s_n):
+        np.add.at(deg[s], np.asarray(sg.receivers_local[s]),
+                  np.asarray(sg.edge_mask[s], np.float32))
+
     return GraphArrays(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(sg.receivers_local),
@@ -506,6 +515,7 @@ def _graph_arrays(sg: ShardedGraph, halos) -> GraphArrays:
         s_sorted=jnp.asarray(s_sorted),
         s_chunk_base=jnp.asarray(s_base),
         s_chunk_tile=jnp.asarray(s_tile),
+        static_in_degree=jnp.asarray(deg),
         banded=halos is not None,
         tile_shape=((halos.shape.s_lat, halos.shape.s_lon) if tiled
                     else None),
@@ -678,9 +688,12 @@ def _gcn_layer(
     """
     k, b = conv_p["kernel"], conv_p["bias"]
     xw_r = x_recv @ k
-    deg = jax.ops.segment_sum(
-        ga.edge_mask, ga.receivers, num_segments=ga.num_recv
-    ) + 1.0
+    if ga.static_in_degree is not None:
+        deg = ga.static_in_degree.astype(jnp.float32) + 1.0
+    else:
+        deg = jax.ops.segment_sum(
+            ga.edge_mask, ga.receivers, num_segments=ga.num_recv
+        ) + 1.0
     dinv = jax.lax.rsqrt(deg).astype(xw_r.dtype)
     if bipartite:
         xw_s = x_send @ k
@@ -960,6 +973,11 @@ def _interaction_processor(
         and _use_sharded_kernels(ga, d)
     )
 
+    # The degree is scan-invariant (the mask never changes DURING the
+    # scan): hoist it — one reduction per processor call, not per MP step.
+    deg_hoisted = jax.ops.segment_sum(emaskf, ga.receivers,
+                                      num_segments=ga.num_recv)
+
     def body(carry, step_p):
         x, e = carry
         k0 = step_p["edge_mlp"]["lin_0"]["kernel"]
@@ -968,8 +986,7 @@ def _interaction_processor(
         xr = x @ k0[d: 2 * d]
         ep = e @ k0[2 * d:]
         ext = _halo_rows(xs, ga, num_shards)
-        deg = jax.ops.segment_sum(emaskf, ga.receivers,
-                                  num_segments=ga.num_recv)
+        deg = deg_hoisted
         if use_kernels:
             # Same fused custom-VJP edge unit as the single-chip trainer
             # (ops.fused_edge): both backward scatters through the Pallas
