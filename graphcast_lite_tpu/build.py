@@ -27,8 +27,9 @@ def config_direct_steps(cfg: ExperimentConfig) -> int:
     output_dim 60 = 4·15) — else 1.  Mirrors the reference's runtime
     detection (src/assimilation/nudging.py:145: model output channels ==
     P·C), but statically from the config pipeline."""
-    if cfg.pipeline is None or cfg.data is None:
-        return 1
+    if getattr(cfg, "pipeline", None) is None \
+            or getattr(cfg, "data", None) is None:
+        return 1   # U-Net/grid configs carry no GNN pipeline
     from .models.weather import model_output_dim
 
     c = cfg.data.num_features_used

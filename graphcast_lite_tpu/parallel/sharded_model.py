@@ -1301,6 +1301,12 @@ def make_sharded_train_step(
     ``y_sh``: [B, S, G_s, P·F].  Params/opt_state replicated.
     """
     obs, nf = spec.obs_window, spec.num_features
+    if spec.direct_steps > 1:
+        raise NotImplementedError(
+            "direct multi-step (P·C decode) models are not wired into the "
+            "explicit shard_map rollout yet — train them single-chip or "
+            "through the GSPMD path (parallel.sharding)"
+        )
     axes = tuple(mesh.axis_names)
     assert axes == ("data", "space"), (
         f"sharded train step expects a ('data', 'space') mesh, got {axes}"

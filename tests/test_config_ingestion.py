@@ -84,3 +84,34 @@ def test_mlp_use_layer_norm_defaults(tmp_path):
 
     m = MLPBlock(output_dim=8)
     assert m.use_layer_norm is False
+
+
+def test_direct_steps_detection_consistent_across_reference_configs():
+    """config_direct_steps must detect direct multi-step models exactly
+    where the decoder emits pred_window·C channels, and never elsewhere
+    (a false positive would silently skip the AR loop)."""
+    import json
+
+    from graphcast_lite_tpu.build import config_direct_steps
+    from graphcast_lite_tpu.config import load_experiment_config
+
+    paths = sorted(glob.glob(os.path.join(REF, "*", "config.json")))
+    if not paths:
+        import pytest
+
+        pytest.skip("reference tree unavailable")
+    checked = 0
+    for path in paths:
+        try:
+            cfg = load_experiment_config(path)
+        except Exception:
+            continue
+        if getattr(cfg, "pipeline", None) is None \
+                or getattr(cfg, "data", None) is None:
+            continue  # U-Net/grid configs have no GNN pipeline
+        p = config_direct_steps(cfg)
+        if p > 1:
+            # Direct models must decode exactly the advertised horizon.
+            assert p == cfg.data.pred_window_used, (path, p)
+        checked += 1
+    assert checked >= 20, checked
