@@ -123,6 +123,14 @@ _PLEV_VARS = {
 _TP_CANDIDATES = [
     "total_precipitation_6hr", "total_precipitation", "tp",
 ]
+# CDS netcdf downloads use ERA5 SHORT names (reference build_region_cds.py
+# retrieves via cdsapi; xarray exposes t2m/u10/... directly).
+_SURFACE_SHORT = {
+    "t2m": "t2m", "10u": "u10", "10v": "v10", "msl": "msl", "sp": "sp",
+    "tcwv": "tcwv",
+}
+_STATIC_SHORT = {"z_surf": "z", "lsm": "lsm"}
+_PLEV_SHORT = {"t": "t", "u": "u", "v": "v", "z": "z", "q": "q"}
 
 
 # ------------------------------------------------------------------ protocol
@@ -157,29 +165,55 @@ class WB2Source:
         missing = [v for v in want if v not in self.channels]
         if missing:
             print(f"[remote] WARNING: source lacks {missing}; skipped")
-        ref = self.ds[self._resolve(self.channels[0])[0]]
+        if not self.channels:
+            raise ValueError(
+                "source exposes none of the requested variables "
+                f"({want}); data_vars do not match the ERA5 long- or "
+                "short-name catalogs"
+            )
+        # Reference axes from the first TIME-VARYING channel (statics have
+        # no time dim).
+        ref = None
+        for name in self.channels:
+            da = self.ds[self._resolve(name)[0]]
+            if "time" in da.dims:
+                ref = da
+                break
+        if ref is None:
+            raise ValueError("source has no time-varying channels")
         self.n_time = int(ref.sizes["time"])
         self.latitude = np.asarray(ref.latitude.values, np.float32)
         self.longitude = np.asarray(ref.longitude.values, np.float32)
 
     def _resolve(self, name: str):
-        """canonical name -> (source var, level | None) or None."""
+        """canonical name -> (source var, level | None) or None.
+
+        Tries the WB2/ARCO LONG names first, then the CDS SHORT names
+        (reference build_dataset_*.py vs build_region_cds.py)."""
         if name == "tp":
             for cand in _TP_CANDIDATES:
                 if cand in self.ds.data_vars:
                     return cand, None
             return None
-        if name in _SURFACE_VARS:
-            v = _SURFACE_VARS[name]
-            return (v, None) if v in self.ds.data_vars else None
-        if name in _STATIC_VARS:
-            v = _STATIC_VARS[name]
-            return (v, None) if v in self.ds.data_vars else None
+        for table in (_SURFACE_VARS, _SURFACE_SHORT):
+            if name in table and table[name] in self.ds.data_vars:
+                return table[name], None
+        for table in (_STATIC_VARS, _STATIC_SHORT):
+            if name in table and table[name] in self.ds.data_vars:
+                # CDS 'z' is ambiguous (surface vs plev); only accept the
+                # short static name when it has NO level dim.
+                v = table[name]
+                if table is _STATIC_SHORT and "level" in getattr(
+                        self.ds[v], "dims", ()):
+                    continue
+                return v, None
         if "@" in name:
             short, lev = name.split("@")
-            v = _PLEV_VARS.get(short)
-            if v is not None and v in self.ds.data_vars:
-                return v, int(lev)
+            for table in (_PLEV_VARS, _PLEV_SHORT):
+                v = table.get(short)
+                if v is not None and v in self.ds.data_vars and \
+                        "level" in getattr(self.ds[v], "dims", ()):
+                    return v, int(lev)
             return None
         return None
 

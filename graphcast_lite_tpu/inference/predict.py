@@ -198,34 +198,41 @@ def evaluate_model(
     )
     exclude = sorted(set(static_channels) | set(forcing_channels))
 
-    def _model_fn(inp, m, t, p):
-        out, _ = model.apply(params, inp, graphs, m, t, p)
-        return out, None
-
-    @partial(jax.jit, static_argnums=(2,))
-    def run_trajectory(window, targets, steps):
+    # Params/graphs/edge_mask ride as jit ARGUMENTS, never closures: over
+    # the axon tunnel, lowering fetches closure-captured device arrays
+    # back through the tunnel (minutes vs sub-second — CLAUDE.md rule).
+    @partial(jax.jit, static_argnums=(5,))
+    def run_trajectory(params_, graphs_, em_, window, targets, steps):
         """Whole rollout in one device program: [G, obs, C] -> [G, steps, C]
         (forcing channels substituted from the known-in-advance targets,
         matching the per-step path's carry_forward semantics)."""
+        def model_fn(inp, m, t, p):
+            out, _ = model.apply(params_, inp, graphs_, m, t, p)
+            return out, None
+
         return rollout_predict(
-            _model_fn, window, steps, spec, edge_mask, forcing=targets
+            model_fn, window, steps, spec, em_, forcing=targets
         )
 
-    @partial(jax.jit, static_argnums=(2,))
-    def run_trajectory_batch(windows, targets, steps):
+    @partial(jax.jit, static_argnums=(5,))
+    def run_trajectory_batch(params_, graphs_, em_, windows, targets, steps):
         """K samples' rollouts in ONE dispatch: [K, G, obs, C] ->
         [K, G, steps, C] (the amortized-serve program)."""
+        def model_fn(inp, m, t, p):
+            out, _ = model.apply(params_, inp, graphs_, m, t, p)
+            return out, None
+
         return jax.vmap(
             lambda w, t: rollout_predict(
-                _model_fn, w, steps, spec, edge_mask, forcing=t
+                model_fn, w, steps, spec, em_, forcing=t
             )
         )(windows, targets)
 
     @jax.jit
-    def one_step(window, target):
+    def one_step(params_, graphs_, em_, window, target):
         """One AR step incl. carry-forward; returns (out, next_window)."""
         inp = window.reshape(g, obs * c)
-        delta, _ = model.apply(params, inp, graphs, edge_mask)
+        delta, _ = model.apply(params_, inp, graphs_, em_)
         out = window[:, -1, :] + delta if use_residual else delta
         out = carry_forward(out, window[:, -1, :], target, spec)
         next_window = jnp.concatenate(
@@ -265,7 +272,8 @@ def evaluate_model(
         if direct_steps > 1:
             # Direct multi-step: one dispatch; offline per-step assimilation.
             out = np.array(run_trajectory(
-                window, jnp.asarray(targets), steps
+                params, graphs, edge_mask, window, jnp.asarray(targets),
+                steps,
             ))                                               # [G, steps, C]
             if assimilator is not None:
                 for step in range(steps):
@@ -282,6 +290,7 @@ def evaluate_model(
                         ws.append(xj.reshape(g, obs, c))
                         ts.append(yj.reshape(g, -1, c))
                     outb = np.asarray(run_trajectory_batch(
+                        params, graphs, edge_mask,
                         jnp.asarray(np.stack(ws)),
                         jnp.asarray(np.stack(ts)), steps,
                     ))
@@ -292,14 +301,16 @@ def evaluate_model(
             else:
                 # Single-dispatch whole-trajectory rollout.
                 out = np.asarray(run_trajectory(
-                    window, jnp.asarray(targets), steps
+                    params, graphs, edge_mask, window,
+                    jnp.asarray(targets), steps,
                 ))
             pred_flat = out.reshape(g, steps * c)
         else:
             outs = []
             for step in range(steps):
                 tgt = jnp.asarray(targets[:, step, :])
-                out, window = one_step(window, tgt)
+                out, window = one_step(params, graphs, edge_mask,
+                                       window, tgt)
                 out_np = np.asarray(out)
                 out_np = assimilator(out_np, step)
                 window = window.at[:, -1, :].set(jnp.asarray(out_np))

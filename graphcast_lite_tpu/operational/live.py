@@ -380,7 +380,12 @@ def render_summary_markdown(
             city_name=city_name, city_lat=city_lat, city_lon=city_lon,
         )
         if rendered:
-            lines += ["", f"![t2m map]({os.path.basename(rendered)})"]
+            # Link relative to the markdown file's directory, not basename
+            # (map_path may live in a sibling directory).
+            base = os.path.dirname(os.path.abspath(out_path)) if out_path \
+                else os.getcwd()
+            rel = os.path.relpath(os.path.abspath(rendered), base)
+            lines += ["", f"![t2m map]({rel})"]
     text = "\n".join(lines)
     if out_path:
         with open(out_path, "w") as f:

@@ -72,7 +72,13 @@ class StationHistory:
     apply path's unavailable-input handling).  Expected names:
     temperature_2m (°C), dewpoint_2m (°C), windspeed_10m (m/s),
     winddirection_10m (deg, meteorological), surface_pressure (hPa),
-    cloudcover (%), shortwave_radiation (W/m²), precipitation (mm).
+    cloudcover (%), shortwave_radiation (W/m²), precipitation (mm —
+    Open-Meteo's unit; converted to METERS at feature-build time so the
+    trained model matches the apply path, which feeds raw ERA5/WB2 ``tp``
+    in meters.  NOTE: the reference trains on mm and applies meters — a
+    silent 1000x feature mismatch its own pipeline carries,
+    build_learned_mos.py vs src/postprocessing/mos_correction.py:132 — we
+    fix it on the training side).
     ``station_t2m_c``: observed 2-m temperature (°C); NaN = missing ob.
     """
 
@@ -128,7 +134,7 @@ def build_feature_matrix(h: StationHistory) -> np.ndarray:
         col("surface_pressure"),
         col("cloudcover"),
         col("shortwave_radiation"),
-        col("precipitation"),
+        col("precipitation") / 1000.0,   # mm -> m (apply-path unit)
         np.sin(2 * np.pi * hours / 24),
         np.cos(2 * np.pi * hours / 24),
         np.sin(2 * np.pi * doys / 365.25),

@@ -134,7 +134,7 @@ def _direct_forward(
     assert delta.shape[-1] == p * c, (
         f"direct_steps={p} x {c} features, model emitted {delta.shape[-1]}"
     )
-    out = delta.reshape(delta.shape[:-1] + (p, c))
+    out = delta.reshape(delta.shape[:-1] + (p, c))[..., :steps, :]
     last = window[..., -1, :][..., None, :]
     if spec.use_residual:
         out = last + out
@@ -144,9 +144,11 @@ def _direct_forward(
         out = out * (1 - sm) + last * sm
     fm = spec.forcing_ch_mask()
     if fm is not None and forcing is not None:
-        fm = jnp.asarray(fm, out.dtype)
-        out = out * (1 - fm) + forcing[..., :p, :] * fm
-    return out[..., :steps, :], new_mask
+        # Slice AFTER clipping out to `steps` so a forcing window shorter
+        # than direct_steps (but >= steps) cannot shape-mismatch.
+        out = out * (1 - jnp.asarray(fm, out.dtype)) \
+            + forcing[..., :steps, :] * jnp.asarray(fm, out.dtype)
+    return out, new_mask
 
 
 def rollout_loss(
@@ -233,8 +235,14 @@ def rollout_predict(
     predict loop substitutes ground-truth forcing, scripts/predict.py:528-565).
     """
     if spec.direct_steps > 1:
+        if steps > spec.direct_steps:
+            raise ValueError(
+                f"direct model emits {spec.direct_steps} steps per forward; "
+                f"{steps} requested — AR continuation of direct models is "
+                "not defined (the window never advances)"
+            )
         out, _ = _direct_forward(
-            model_fn, window, min(steps, spec.direct_steps), spec,
+            model_fn, window, steps, spec,
             edge_mask, attention_threshold, False, forcing,
         )
         return out

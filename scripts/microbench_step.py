@@ -1,12 +1,13 @@
 """Microbenchmark of one InteractionNet processor step's pieces on the
 real TPU at flagship scale (512x256 / mesh [4,6]).
 
-Methodology notes (axon tunnel):
+Methodology notes (axon tunnel) — see also ROADMAP "what round 5 learned":
+* block_until_ready is a NO-OP over the tunnel; sync() fetches a value;
 * every timed call feeds a DISTINCT input (cycled variants) — identical
   repeated (program, args) pairs can be deduplicated server-side and
   time as pure dispatch overhead;
-* chained variants run K dependent applications inside one jit, with a
-  per-step perturbation so XLA cannot algebraically collapse the chain.
+* only the LARGE (multi-ms, chained) numbers here are decision-grade;
+  isolated sub-millisecond op timings are unreliable regardless.
 
 Run: python scripts/microbench_step.py [iters]
 """
@@ -24,13 +25,17 @@ import jax.numpy as jnp
 
 
 def sync(x):
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
-        else a, x)
+    """Force remote completion: over the axon tunnel block_until_ready is
+    a NO-OP — only a host VALUE FETCH actually waits (bench.py _sync)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.float32(leaf.ravel()[0]))
 
 
 def timeit(fn, variants, iters=12, warmup=2):
-    """variants: list of arg-tuples cycled per call (defeats result caching)."""
+    """variants: list of arg-tuples cycled per call (defeats result caching).
+    NOTE: per-call numbers remain upper-bounded approximations — for
+    sub-millisecond ops prefer data-dependent chains (see the ablation
+    harness in ROADMAP "what round 5 learned")."""
     for i in range(warmup):
         sync(fn(*variants[i % len(variants)]))
     t0 = time.time()

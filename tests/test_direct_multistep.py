@@ -166,3 +166,26 @@ def test_direct_mode_offline_nudging(tmp_path):
 
     nudged = run(assim)
     assert nudged.rmse < base.rmse
+
+
+def test_direct_forcing_window_shorter_than_p():
+    """Forcing/targets windows shorter than direct_steps must not shape-
+    crash: out is clipped to `steps` BEFORE the forcing substitution."""
+    g = 7
+    rng = np.random.RandomState(1)
+    window = jnp.asarray(rng.randn(g, 2, C).astype(np.float32))
+    targets2 = jnp.asarray(rng.randn(g, 2, C).astype(np.float32))  # 2 < P=3
+    spec = RolloutSpec(obs_window=2, num_features=C, use_residual=True,
+                       remat=False, forcing_channels=(4,), direct_steps=P)
+    fn = _direct_model_fn(g)
+    out = rollout_predict(fn, window, 2, spec, forcing=targets2)
+    assert out.shape == (g, 2, C)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, 4], np.asarray(targets2)[:, :, 4], atol=1e-6
+    )
+    loss, _ = rollout_loss(fn, window, targets2, 2, spec)
+    assert np.isfinite(float(loss))
+
+    # Requesting MORE steps than a direct model emits is an explicit error.
+    with pytest.raises(ValueError, match="direct model emits"):
+        rollout_predict(fn, window, P + 2, spec)

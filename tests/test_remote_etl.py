@@ -310,3 +310,59 @@ def test_cli_subcommands(tmp_path, monkeypatch):
     if not has_deps:
         with pytest.raises(RuntimeError, match="zero-egress"):
             remote.main(["build-wb2", "--out", str(tmp_path / "x")])
+
+
+def make_fake_cds(n_time=8, n_lat=12, n_lon=16, seed=1):
+    """CDS-style netcdf: ERA5 SHORT variable names (t2m/u10/...), plev vars
+    carrying a level dim."""
+    rng = np.random.RandomState(seed)
+    lat = np.linspace(40, 65, n_lat).astype(np.float32)
+    lon = np.linspace(60, 110, n_lon).astype(np.float32)
+    time = np.arange(n_time)
+    c_t = {"time": time, "latitude": lat, "longitude": lon}
+
+    def surf(scale=1.0, off=0.0):
+        return FakeDataArray(
+            (off + scale * rng.randn(n_time, n_lat, n_lon)).astype(
+                np.float32),
+            ("time", "latitude", "longitude"), c_t)
+
+    levels = np.array([850, 500])
+    c_l = {"time": time, "level": levels, "latitude": lat, "longitude": lon}
+
+    def plev(scale, off):
+        return FakeDataArray(
+            (off + scale * rng.randn(n_time, len(levels), n_lat,
+                                     n_lon)).astype(np.float32),
+            ("time", "level", "latitude", "longitude"), c_l)
+
+    return FakeDataset({
+        "t2m": surf(10, 280), "u10": surf(5), "v10": surf(5),
+        "msl": surf(500, 101325), "sp": surf(800, 98000),
+        "tp": surf(0.001, 0.001),
+        "t": plev(10, 260), "z": plev(2000, 50000), "q": plev(0.002, 0.004),
+    })
+
+
+def test_cds_short_name_catalog(tmp_path):
+    """The CDS builder path resolves ERA5 SHORT names (cdsapi downloads);
+    ambiguous 'z' (static vs plev) must go to the pressure levels when it
+    carries a level dim."""
+    ds = make_fake_cds()
+    src = WB2Source(ds)
+    assert "t2m" in src.channels and "10u" in src.channels
+    assert "t@850" in src.channels and "z@500" in src.channels
+    assert "z_surf" not in src.channels      # plev 'z' is not the static
+    np.testing.assert_allclose(
+        src.read("10u", 0, 2),
+        ds["u10"].values[:2].transpose(0, 2, 1))
+
+    out = build_region_cds(str(tmp_path / "cds"), (45, 60, 70, 100),
+                           open_fn=lambda paths: ds)
+    with open(os.path.join(out, "dataset_info.json")) as f:
+        info = json.load(f)
+    assert info["n_feat"] == len(src.channels)
+
+    # Garbage source -> explicit error, not IndexError.
+    with pytest.raises(ValueError, match="none of the requested"):
+        WB2Source(FakeDataset({"foo": ds["t2m"]}))
