@@ -87,8 +87,18 @@ class RegularBlocks:
     senders: jnp.ndarray              # [rows_pad] int32
     mask: jnp.ndarray                 # [rows_pad] float32
     edge_attr: Optional[jnp.ndarray]  # [rows_pad, F_e]
+    # Sender-sorted permutation + clipped Pallas schedule for the backward
+    # scatter (d_xs): the ONE adjoint the layout cannot turn into a
+    # broadcast (receivers: slice-sum -> tile; senders: segment).
+    s_perm: Optional[jnp.ndarray] = None      # [rows_pad] argsort(senders)
+    s_sorted: Optional[jnp.ndarray] = None    # [rows_pad]
+    s_chunk_base: Optional[jnp.ndarray] = None
+    s_chunk_tile: Optional[jnp.ndarray] = None
     block_recv: tuple = struct.field(pytree_node=False, default=())
     block_k: tuple = struct.field(pytree_node=False, default=())
+    s_tile_lo: int = struct.field(pytree_node=False, default=0)
+    s_tile_hi: int = struct.field(pytree_node=False, default=0)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
 
     @property
     def rows_padded(self) -> int:
@@ -169,12 +179,31 @@ def build_regular_blocks(
     if edge_attr is not None:
         attr = np.zeros((rows_pad, edge_attr.shape[1]), np.float32)
         attr[:total_rows] = np.concatenate(attr_tabs, axis=0)
+
+    # Sender-sorted aux for the backward scatter (masked rows carry exact
+    # zero cotangents, so pad senders pointing at node 0 are harmless).
+    from ..ops.pallas_segment import (
+        DEFAULT_TILE_RECEIVERS, build_schedule_clipped,
+    )
+
+    s_perm = np.argsort(snd, kind="stable").astype(np.int32)
+    s_sorted = snd[s_perm]
+    s_base, s_tile, s_lo, s_hi = build_schedule_clipped(
+        s_sorted, int(num_receivers), DEFAULT_TILE_RECEIVERS
+    )
     return RegularBlocks(
         senders=jnp.asarray(snd),
         mask=jnp.asarray(msk),
         edge_attr=jnp.asarray(attr) if attr is not None else None,
+        s_perm=jnp.asarray(s_perm),
+        s_sorted=jnp.asarray(s_sorted),
+        s_chunk_base=jnp.asarray(s_base),
+        s_chunk_tile=jnp.asarray(s_tile),
         block_recv=tuple(block_recv),
         block_k=tuple(block_k),
+        s_tile_lo=s_lo,
+        s_tile_hi=s_hi,
+        num_nodes=int(num_receivers),
     )
 
 

@@ -415,23 +415,21 @@ class _MegaEdgeMLP(nn.Module):
 
 
 def _use_reg_blocks(graph: Graph, edge_mask) -> bool:
-    """Regular per-level block path policy (GCLT_REG_EDGE=1 opts in).
+    """Regular per-level block path policy (GCLT_REG_EDGE=0 kills it).
 
-    Default OFF: measured on the flagship 512x256 v5e workload the
-    slot-major constant-degree layout is PARITY with the COO+segment-kernel
-    forward (249.2 vs 247.4 ms inference rollout — both paths sit at the
-    unfused [E,256]-traffic floor), and its plain-autodiff backward OOMs
-    at AR-4 BPTT (the custom-VJP COO path is memory-engineered; with
-    GCLT_SCAN_REMAT=full it runs but nets 1471 vs 1389 ms/train step).
-    Kept as tested machinery: it is pure XLA (no Pallas), so it is the
-    preferred base for backends where the segment kernel is unavailable,
-    and for a future memory-engineered custom VJP (its aggregation adjoint
-    is a broadcast, not a scatter)."""
+    DEFAULT ON wherever the graph carries the constant-degree layout and
+    no runtime (SparseGAT) mask overrides the static one.  Measured on the
+    flagship 512x256 v5e workload: the slot-major layout with its
+    custom-VJP edge unit (ops.reg_edge: receiver adjoints are
+    broadcasts/slice-sums; only the sender scatter remains) cut the train
+    step 1388.5 -> 1144.3 ms (loss fingerprint unchanged), and the forward
+    is parity with the COO+segment-kernel path (~248 ms inference rollout
+    either way — both sit at the unfused [E,256]-traffic floor)."""
     import os
 
     if graph.reg_blocks is None or edge_mask is not None:
         return False
-    return os.environ.get("GCLT_REG_EDGE", "0") not in ("0", "false", "off")
+    return os.environ.get("GCLT_REG_EDGE", "1") not in ("0", "false", "off")
 
 
 def _use_edge_step_path(graph: Graph, hidden_dim: int, edge_dim: int,
@@ -802,56 +800,21 @@ class _LazyINLayer(nn.Module):
             # block row layout (the processor initialized it from
             # rb.edge_attr).
             rb = graph.reg_blocks
-            xs = x @ w1s
-            xr = x @ w1r
-            act = resolve_activation(self.activation)
-            f32 = jnp.float32
-            m_nodes = graph.num_receivers
+            from ..ops.reg_edge import RegStatic, reg_edge_tail
 
-            agg_sum = None
-            v_parts = []
-            sm = sq = cnt = 0.0
-            off = 0
-            for v_sz, k in zip(rb.block_recv, rb.block_k):
-                n = v_sz * k
-                snd_b = rb.senders[off:off + n]
-                msk_b = rb.mask[off:off + n]
-                v_b = v[off:off + n]
-                # Slot-major rows (row = slot*V + r): the receiver term is
-                # a k-fold tile of xr's first V rows — everything 2-D.
-                h_b = (
-                    jnp.take(xs, snd_b, axis=0)
-                    + jnp.tile(xr[:v_sz], (k, 1))
-                    + v_b @ w1e_eff
-                    + b1_eff
-                )
-                u_b = act(h_b) @ k1 + b1                       # [n, de]
-                um_b = u_b * msk_b[:, None].astype(u_b.dtype)
-                blk = um_b[:v_sz].astype(f32)
-                for s_i in range(1, k):
-                    blk = blk + um_b[s_i * v_sz:(s_i + 1) * v_sz].astype(f32)
-                blk = blk.astype(u_b.dtype)
-                if v_sz < m_nodes:
-                    blk = jnp.pad(blk, ((0, m_nodes - v_sz), (0, 0)))
-                agg_sum = blk if agg_sum is None else agg_sum + blk
-                v_new_b = (
-                    a.astype(v_b.dtype)[None, :] * v_b
-                    + c.astype(v_b.dtype) + u_b
-                )
-                v_parts.append(v_new_b)
-                wf = msk_b.astype(f32)[:, None]
-                vf = v_new_b.astype(f32)
-                sm = sm + (vf * wf).sum()
-                sq = sq + (jnp.square(vf) * wf).sum()
-                cnt = cnt + wf.sum()
-                off += n
-            rows_pad = rb.senders.shape[0]
-            v_new = jnp.concatenate(v_parts, axis=0)
-            if off < rows_pad:
-                v_new = jnp.concatenate(
-                    [v_new, v[off:]], axis=0
-                )  # padding rows ride along unchanged
-
+            static = RegStatic(
+                block_recv=rb.block_recv, block_k=rb.block_k,
+                num_nodes=graph.num_receivers,
+                tile_receivers=graph.seg_tile_receivers or 256,
+                s_tile_lo=rb.s_tile_lo, s_tile_hi=rb.s_tile_hi,
+                activation=self.activation,
+                interpret=jax.default_backend() == "cpu",
+            )
+            u, agg_sum = reg_edge_tail(
+                static, x, v, rb.mask.astype(x.dtype), rb.senders,
+                rb.s_perm, rb.s_sorted, rb.s_chunk_base, rb.s_chunk_tile,
+                w1s, w1r, w1e_eff, b1_eff, k1, b1,
+            )
             deg = seg_ops.masked_in_degree(graph, edge_mask)
             agg = agg_sum / jnp.maximum(
                 deg, 1.0
@@ -863,9 +826,17 @@ class _LazyINLayer(nn.Module):
             new_x = PyGLayerNorm(mode="node", name="node_norm")(
                 x + node_update
             )
-            denom = jnp.maximum(cnt * de, 1.0)
-            mu = sm / denom
-            var = jnp.maximum(sq / denom - jnp.square(mu), 0.0)
+            # Lazy-LN residual + masked graph-mode stats (pad rows carry u
+            # but are mask-excluded; their values are never read).
+            v_new = a.astype(v.dtype)[None, :] * v + c.astype(v.dtype) + u
+            f32 = jnp.float32
+            w = rb.mask.astype(f32)[:, None]
+            vf = v_new.astype(f32)
+            denom = jnp.maximum(w.sum() * de, 1.0)
+            mu = (vf * w).sum() / denom
+            var = jnp.maximum(
+                (jnp.square(vf) * w).sum() / denom - jnp.square(mu), 0.0
+            )
             inv_sigma = jax.lax.rsqrt(var + 1e-5)
             gamma = ln.weight.astype(f32)
             beta = ln.bias.astype(f32)
